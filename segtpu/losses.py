@@ -1,0 +1,173 @@
+"""Segmentation losses, jit-safe and NHWC.
+
+Functional equivalents of reference utils/losses.py (CrossEntropyLoss2d,
+DiceLoss, FocalLoss, CE_DiceLoss, LovaszSoftmax) and the vendored
+utils/lovasz_losses.py, re-derived for XLA:
+
+* logits are (B, H, W, C) float, labels are (B, H, W) int with an
+  ``ignore_index`` sentinel (255 for VOC/Cityscapes/COCO, -1 for ADE20K).
+* ignore handling is mask arithmetic, never boolean indexing — shapes stay
+  static so everything fuses into the backward pass under jit.
+* Lovász's data-dependent "present classes" filter becomes a mask + sorted
+  reduction (``jax.lax.sort``), see :func:`lovasz_softmax`.
+
+Every loss returns a scalar in float32.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _valid_mask(target: jnp.ndarray, num_classes: int, ignore_index: int) -> jnp.ndarray:
+    """1.0 where the pixel participates in the loss."""
+    valid = (target != ignore_index) & (target >= 0) & (target < num_classes)
+    return valid.astype(jnp.float32)
+
+
+def _per_pixel_ce(logits: jnp.ndarray, target: jnp.ndarray, valid: jnp.ndarray,
+                  weight: Optional[jnp.ndarray] = None):
+    """Per-pixel cross-entropy (zeros at ignored pixels) and per-pixel weight."""
+    logits = logits.astype(jnp.float32)
+    safe_target = jnp.where(valid > 0, target, 0).astype(jnp.int32)
+    logz = jax.nn.logsumexp(logits, axis=-1)
+    picked = jnp.take_along_axis(logits, safe_target[..., None], axis=-1)[..., 0]
+    ce = (logz - picked) * valid
+    if weight is not None:
+        w = jnp.asarray(weight, jnp.float32)[safe_target] * valid
+        ce = ce * jnp.asarray(weight, jnp.float32)[safe_target]
+    else:
+        w = valid
+    return ce, w
+
+
+def cross_entropy(logits, target, ignore_index=255, weight=None):
+    """Mean CE over non-ignored pixels; optional per-class weights use torch's
+    weighted-mean convention (divide by the sum of picked weights).
+    Parity: reference utils/losses.py:24-31 (nn.CrossEntropyLoss)."""
+    num_classes = logits.shape[-1]
+    valid = _valid_mask(target, num_classes, ignore_index)
+    ce, w = _per_pixel_ce(logits, target, valid, weight)
+    return jnp.sum(ce) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def dice_loss(logits, target, ignore_index=255, smooth=1.0):
+    """Soft dice over softmax probabilities vs one-hot target.
+
+    Reference utils/losses.py:33-50 zeroes ignored labels by rewriting them to
+    ``target.min()`` (a data-dependent hack); here ignored pixels are excluded
+    from both the prediction and target sums via masking, which is the intended
+    semantics and is jit-safe.
+    """
+    num_classes = logits.shape[-1]
+    valid = _valid_mask(target, num_classes, ignore_index)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    safe_target = jnp.where(valid > 0, target, 0).astype(jnp.int32)
+    onehot = jax.nn.one_hot(safe_target, num_classes, dtype=jnp.float32)
+    onehot = onehot * valid[..., None]
+    probs = probs * valid[..., None]
+    intersection = jnp.sum(probs * onehot)
+    denom = jnp.sum(probs) + jnp.sum(onehot)
+    return 1.0 - (2.0 * intersection + smooth) / (denom + smooth)
+
+
+def focal_loss(logits, target, ignore_index=255, gamma=2.0, alpha=None):
+    """(1-p)^gamma * CE. Matches reference utils/losses.py:52-65 exactly,
+    including its quirk: the final mean divides by ALL pixels (ignored pixels
+    contribute zeros to the numerator but still count in the denominator,
+    because torch's ``reduce=False`` CE emits 0 there and ``.mean()`` is
+    global)."""
+    num_classes = logits.shape[-1]
+    valid = _valid_mask(target, num_classes, ignore_index)
+    ce, _ = _per_pixel_ce(logits, target, valid, alpha)
+    pt = jnp.exp(-ce)
+    focal = ((1.0 - pt) ** gamma) * ce * valid
+    return jnp.mean(focal)
+
+
+def ce_dice_loss(logits, target, ignore_index=255, smooth=1.0, weight=None):
+    """CE + Dice (reference utils/losses.py:67-77)."""
+    return (
+        cross_entropy(logits, target, ignore_index, weight)
+        + dice_loss(logits, target, ignore_index, smooth)
+    )
+
+
+def lovasz_softmax(logits, target, ignore_index=255, per_image=False):
+    """Lovász-Softmax with ``classes='present'`` (multi-class IoU surrogate).
+
+    Re-derivation of the vendored Berman implementation (reference
+    utils/lovasz_losses.py:153-217) under jit constraints:
+
+    * flattening + ignore filtering becomes a validity mask carried through a
+      multi-operand ``lax.sort`` (invalid pixels sort to the tail with error
+      key -1 and contribute zero via the mask);
+    * the Lovász extension gradient is the discrete derivative of the Jaccard
+      of the sorted ground-truth indicator — pure cumsum arithmetic;
+    * ``classes='present'`` becomes a per-class presence mask and a division
+      by the number of present classes.
+    """
+    num_classes = logits.shape[-1]
+
+    def one_image(lg, tg):
+        valid = _valid_mask(tg, num_classes, ignore_index).reshape(-1)
+        probs = jax.nn.softmax(lg.astype(jnp.float32), axis=-1).reshape(-1, num_classes)
+        tflat = jnp.where(valid > 0, tg.reshape(-1), 0).astype(jnp.int32)
+        fg = jax.nn.one_hot(tflat, num_classes, dtype=jnp.float32) * valid[:, None]
+
+        errors = jnp.abs(fg - probs) * valid[:, None]  # (P, C)
+        # Sort each class column by descending error; carry fg and valid along.
+        sort_key = -errors.T  # (C, P) ascending sort == descending errors
+        neg_sorted, fg_sorted, valid_sorted = jax.lax.sort(
+            (sort_key, fg.T, jnp.broadcast_to(valid, (num_classes, valid.shape[0]))),
+            dimension=1,
+            num_keys=1,
+        )
+        errors_sorted = -neg_sorted
+
+        gts = jnp.sum(fg_sorted, axis=1, keepdims=True)  # (C, 1)
+        cum_fg = jnp.cumsum(fg_sorted, axis=1)
+        intersection = gts - cum_fg
+        union = gts + jnp.cumsum((1.0 - fg_sorted) * valid_sorted, axis=1)
+        jaccard = 1.0 - intersection / jnp.maximum(union, 1e-12)
+        grad = jnp.concatenate(
+            [jaccard[:, :1], jaccard[:, 1:] - jaccard[:, :-1]], axis=1
+        )
+        per_class = jnp.sum(errors_sorted * grad * valid_sorted, axis=1)  # (C,)
+        present = (gts[:, 0] > 0).astype(jnp.float32)
+        return jnp.sum(per_class * present) / jnp.maximum(jnp.sum(present), 1.0)
+
+    if per_image:
+        return jnp.mean(jax.vmap(one_image)(logits, target))
+    return one_image(logits, target)
+
+
+# ---------------------------------------------------------------------------
+# Registry — mirrors the names accepted by the reference's config["loss"]
+# (reference train.py:30, README.md "Losses" section).
+# ---------------------------------------------------------------------------
+
+def _named(fn, **fixed):
+    @functools.wraps(fn)
+    def wrapped(logits, target, ignore_index=255, **kw):
+        return fn(logits, target, ignore_index=ignore_index, **{**fixed, **kw})
+    return wrapped
+
+
+LOSSES = {
+    "CrossEntropyLoss2d": _named(cross_entropy),
+    "DiceLoss": _named(dice_loss),
+    "FocalLoss": _named(focal_loss),
+    "CE_DiceLoss": _named(ce_dice_loss),
+    "LovaszSoftmax": _named(lovasz_softmax),
+}
+
+
+def get_loss(name: str):
+    if name not in LOSSES:
+        raise KeyError(f"unknown loss {name!r}; available: {sorted(LOSSES)}")
+    return LOSSES[name]

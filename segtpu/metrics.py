@@ -1,0 +1,114 @@
+"""Streaming segmentation metrics, device-resident.
+
+Equivalent of reference utils/metrics.py (batch_pix_accuracy,
+batch_intersection_union via ``torch.histc``, eval_metrics) — but designed so
+the per-batch quantities are computed INSIDE the jitted step and accumulated
+on device. The reference syncs device->host every iteration
+(reference trainer.py:84-85, metrics.py:46,57 ``.cpu().numpy()``); here the
+transfer happens only at log boundaries.
+
+The histogram uses ``jnp.bincount(..., length=num_classes)``, which XLA lowers
+to a static-shape scatter-add — the TPU answer to ``torch.histc``.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+class SegStats(NamedTuple):
+    """Confusion-style accumulators (all float32 on device).
+
+    Mirrors the 4-tuple of reference utils/metrics.py:59-67:
+    ``correct, labeled`` (pixel accuracy) and per-class ``inter, union`` (IoU).
+    """
+
+    correct: jnp.ndarray  # scalar
+    labeled: jnp.ndarray  # scalar
+    inter: jnp.ndarray    # (num_classes,)
+    union: jnp.ndarray    # (num_classes,)
+
+    @staticmethod
+    def zeros(num_classes: int) -> "SegStats":
+        return SegStats(
+            correct=jnp.zeros((), jnp.float32),
+            labeled=jnp.zeros((), jnp.float32),
+            inter=jnp.zeros((num_classes,), jnp.float32),
+            union=jnp.zeros((num_classes,), jnp.float32),
+        )
+
+    def __add__(self, other: "SegStats") -> "SegStats":
+        return SegStats(
+            self.correct + other.correct,
+            self.labeled + other.labeled,
+            self.inter + other.inter,
+            self.union + other.union,
+        )
+
+
+def seg_stats(pred: jnp.ndarray, target: jnp.ndarray, num_classes: int) -> SegStats:
+    """Per-batch stats from integer predictions and targets (any shape).
+
+    Pixels outside ``[0, num_classes)`` (the ignore sentinel — 255 or -1) are
+    excluded, matching the +1-shift trick of reference utils/metrics.py:61-64.
+    """
+    pred = pred.reshape(-1).astype(jnp.int32)
+    target = target.reshape(-1).astype(jnp.int32)
+    valid = (target >= 0) & (target < num_classes)
+    validf = valid.astype(jnp.float32)
+    correct = jnp.sum((pred == target) & valid)
+    labeled = jnp.sum(validf)
+
+    match = ((pred == target) & valid).astype(jnp.float32)
+    safe_pred = jnp.where(valid, pred, 0)
+    safe_target = jnp.where(valid, target, 0)
+    inter = jnp.bincount(safe_target, weights=match, length=num_classes)
+    area_pred = jnp.bincount(safe_pred, weights=validf, length=num_classes)
+    area_lab = jnp.bincount(safe_target, weights=validf, length=num_classes)
+    union = area_pred + area_lab - inter
+    return SegStats(correct.astype(jnp.float32), labeled, inter, union)
+
+
+def seg_stats_from_logits(logits: jnp.ndarray, target: jnp.ndarray) -> SegStats:
+    """Stats straight from (B, H, W, C) logits — argmax stays on device."""
+    return seg_stats(jnp.argmax(logits, axis=-1), target, logits.shape[-1])
+
+
+def summarize(stats: SegStats) -> Dict[str, np.ndarray]:
+    """Host-side summary: pixel accuracy, mIoU, per-class IoU.
+
+    Matches reference trainer.py:186-194 (_get_seg_metrics) including the
+    1e-10 epsilon and rounding conventions.
+    """
+    correct = np.asarray(stats.correct)
+    labeled = np.asarray(stats.labeled)
+    inter = np.asarray(stats.inter)
+    union = np.asarray(stats.union)
+    pix_acc = 1.0 * correct / (np.spacing(1, dtype=np.float64) + labeled)
+    iou = 1.0 * inter / (np.spacing(1, dtype=np.float64) + union)
+    return {
+        "Pixel_Accuracy": np.round(pix_acc, 3),
+        "Mean_IoU": np.round(iou.mean(), 3),
+        "Class_IoU": dict(zip(range(len(iou)), np.round(iou, 3))),
+    }
+
+
+class AverageMeter:
+    """Weighted streaming mean (reference utils/metrics.py:6-40)."""
+
+    def __init__(self):
+        self.val = 0.0
+        self.sum = 0.0
+        self.count = 0.0
+
+    def update(self, val, weight=1):
+        self.val = val
+        self.sum += val * weight
+        self.count += weight
+
+    @property
+    def average(self):
+        return self.sum / max(self.count, 1e-12)

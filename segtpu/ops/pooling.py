@@ -1,0 +1,165 @@
+"""Pooling ops: torch-compatible max/avg pooling, adaptive average pooling as
+an MXU matmul, and argmax pooling / max-unpooling for SegNet-style decoders.
+
+The reference relies on ``nn.MaxPool2d(return_indices=True)`` +
+``nn.MaxUnpool2d`` (reference models/segnet.py:62,106-119, models/enet.py:42),
+which have no XLA primitive. TPU-native formulation:
+
+* ``max_pool_argmax`` — for the 2x2/stride-2 windows the zoo actually uses,
+  a reshape to (B, H/2, 2, W/2, 2, C) turns the window into a static axis;
+  argmax over the 4 candidates is a pure VPU reduction.
+* ``max_unpool`` — one-hot expand of the 2-bit index against the pooled
+  values; a scatter-free, fully vectorized inverse.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _pad_hw(x: jnp.ndarray, padding: int | tuple, value: float) -> jnp.ndarray:
+    if isinstance(padding, int):
+        padding = (padding, padding)
+    ph, pw = padding
+    if ph == 0 and pw == 0:
+        return x
+    return jnp.pad(
+        x,
+        ((0, 0), (ph, ph), (pw, pw), (0, 0)),
+        mode="constant",
+        constant_values=value,
+    )
+
+
+def max_pool(x, window=2, stride=None, padding=0, ceil_mode=False):
+    """torch-style max pool on NHWC input (explicit -inf padding)."""
+    if isinstance(window, int):
+        window = (window, window)
+    stride = window if stride is None else stride
+    if isinstance(stride, int):
+        stride = (stride, stride)
+    neg = jnp.finfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    x = _pad_hw(x, padding, neg)
+    if ceil_mode:
+        # torch ceil_mode: allow a final partial window; pad the tail so the
+        # window count matches ceil((size - k) / s) + 1.
+        h, w = x.shape[1], x.shape[2]
+        out_h = -(-(h - window[0]) // stride[0]) + 1
+        out_w = -(-(w - window[1]) // stride[1]) + 1
+        need_h = (out_h - 1) * stride[0] + window[0] - h
+        need_w = (out_w - 1) * stride[1] + window[1] - w
+        if need_h > 0 or need_w > 0:
+            x = jnp.pad(
+                x,
+                ((0, 0), (0, max(need_h, 0)), (0, max(need_w, 0)), (0, 0)),
+                mode="constant",
+                constant_values=neg,
+            )
+    return jax.lax.reduce_window(
+        x,
+        neg,
+        jax.lax.max,
+        window_dimensions=(1, *window, 1),
+        window_strides=(1, *stride, 1),
+        padding="VALID",
+    )
+
+
+def avg_pool(x, window=2, stride=None, padding=0, count_include_pad=True):
+    """torch-style average pool on NHWC input."""
+    if isinstance(window, int):
+        window = (window, window)
+    stride = window if stride is None else stride
+    if isinstance(stride, int):
+        stride = (stride, stride)
+    orig_dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    summed = jax.lax.reduce_window(
+        _pad_hw(xf, padding, 0.0),
+        0.0,
+        jax.lax.add,
+        window_dimensions=(1, *window, 1),
+        window_strides=(1, *stride, 1),
+        padding="VALID",
+    )
+    if count_include_pad:
+        out = summed / float(window[0] * window[1])
+    else:
+        ones = jnp.ones_like(xf[:1, :, :, :1])
+        counts = jax.lax.reduce_window(
+            _pad_hw(ones, padding, 0.0),
+            0.0,
+            jax.lax.add,
+            window_dimensions=(1, *window, 1),
+            window_strides=(1, *stride, 1),
+            padding="VALID",
+        )
+        out = summed / counts
+    return out.astype(orig_dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _adaptive_matrix_np(in_size: int, out_size: int) -> np.ndarray:
+    """(out, in) averaging matrix with torch adaptive_avg_pool2d bin edges:
+    bin i covers [floor(i*in/out), ceil((i+1)*in/out))."""
+    mat = np.zeros((out_size, in_size), dtype=np.float32)
+    for i in range(out_size):
+        lo = (i * in_size) // out_size
+        hi = -(-((i + 1) * in_size) // out_size)
+        mat[i, lo:hi] = 1.0 / (hi - lo)
+    return mat
+
+
+def adaptive_avg_pool(x: jnp.ndarray, output_size) -> jnp.ndarray:
+    """torch ``adaptive_avg_pool2d`` on NHWC input, as two MXU matmuls.
+
+    Used by the PSP pyramid (reference models/pspnet.py:22) and ASPP image
+    pooling (reference models/deeplabv3_plus.py:270).
+    """
+    if isinstance(output_size, int):
+        output_size = (output_size, output_size)
+    out_h, out_w = output_size
+    mh = jnp.asarray(_adaptive_matrix_np(x.shape[1], out_h), dtype=x.dtype)
+    mw = jnp.asarray(_adaptive_matrix_np(x.shape[2], out_w), dtype=x.dtype)
+    hi = jax.lax.Precision.HIGHEST
+    x = jnp.einsum("bhwc,Hh->bHwc", x, mh, precision=hi)
+    x = jnp.einsum("bhwc,Ww->bhWc", x, mw, precision=hi)
+    return x
+
+
+def max_pool_argmax(x: jnp.ndarray):
+    """2x2/stride-2 max pool returning (pooled, idx).
+
+    ``idx`` is int8 in [0, 4): the position of the max inside its 2x2 window
+    (row-major). Odd trailing rows/cols are handled by -inf padding, matching
+    the zoo's usage where inputs are even-sized.
+    """
+    b, h, w, c = x.shape
+    neg = jnp.finfo(x.dtype).min
+    ph, pw = h % 2, w % 2
+    if ph or pw:
+        x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), constant_values=neg)
+        h, w = h + ph, w + pw
+    windows = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    windows = windows.transpose(0, 1, 3, 5, 2, 4).reshape(b, h // 2, w // 2, c, 4)
+    idx = jnp.argmax(windows, axis=-1).astype(jnp.int8)
+    pooled = jnp.max(windows, axis=-1)
+    return pooled, idx
+
+
+def max_unpool(y: jnp.ndarray, idx: jnp.ndarray, output_size=None) -> jnp.ndarray:
+    """Inverse of :func:`max_pool_argmax`: place each pooled value at its
+    argmax position within the corresponding 2x2 output window (zeros
+    elsewhere). Scatter-free: one-hot(idx) * y, then window axes unfold."""
+    b, h2, w2, c = y.shape
+    onehot = jax.nn.one_hot(idx.astype(jnp.int32), 4, dtype=y.dtype)
+    expanded = y[..., None] * onehot  # (B, H/2, W/2, C, 4)
+    expanded = expanded.reshape(b, h2, w2, c, 2, 2).transpose(0, 1, 4, 2, 5, 3)
+    out = expanded.reshape(b, h2 * 2, w2 * 2, c)
+    if output_size is not None:
+        out = out[:, : output_size[0], : output_size[1], :]
+    return out

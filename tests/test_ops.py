@@ -1,0 +1,95 @@
+"""Ops tests: resize/pooling/pixel-shuffle against torch (CPU) ground truth."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax.numpy as jnp
+
+from segtpu import ops
+
+
+def _nhwc(t):
+    return np.transpose(t, (0, 2, 3, 1))
+
+
+@pytest.mark.parametrize("align_corners", [True, False])
+@pytest.mark.parametrize("shape,out", [((2, 3, 17, 23), (34, 46)), ((1, 5, 8, 8), (3, 5))])
+def test_resize_bilinear_matches_torch(rng, align_corners, shape, out):
+    x = rng.standard_normal(shape).astype(np.float32)
+    ref = F.interpolate(torch.from_numpy(x), size=out, mode="bilinear",
+                        align_corners=align_corners).numpy()
+    got = np.asarray(ops.resize_bilinear(jnp.asarray(_nhwc(x)), out, align_corners))
+    np.testing.assert_allclose(got, _nhwc(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_resize_nearest_matches_torch(rng):
+    x = rng.standard_normal((2, 4, 9, 13)).astype(np.float32)
+    ref = F.interpolate(torch.from_numpy(x), size=(18, 26), mode="nearest").numpy()
+    got = np.asarray(ops.resize_nearest(jnp.asarray(_nhwc(x)), (18, 26)))
+    np.testing.assert_allclose(got, _nhwc(ref))
+
+
+@pytest.mark.parametrize("k,s,p", [(2, 2, 0), (3, 2, 1), (3, 1, 1)])
+def test_max_pool_matches_torch(rng, k, s, p):
+    x = rng.standard_normal((2, 6, 16, 16)).astype(np.float32)
+    ref = F.max_pool2d(torch.from_numpy(x), k, s, p).numpy()
+    got = np.asarray(ops.max_pool(jnp.asarray(_nhwc(x)), k, s, p))
+    np.testing.assert_allclose(got, _nhwc(ref), rtol=1e-6)
+
+
+def test_max_pool_ceil_mode(rng):
+    x = rng.standard_normal((1, 3, 15, 15)).astype(np.float32)
+    ref = F.max_pool2d(torch.from_numpy(x), 2, 2, 0, ceil_mode=True).numpy()
+    got = np.asarray(ops.max_pool(jnp.asarray(_nhwc(x)), 2, 2, 0, ceil_mode=True))
+    np.testing.assert_allclose(got, _nhwc(ref))
+
+
+@pytest.mark.parametrize("out_size", [1, 2, 3, 6, 5])
+def test_adaptive_avg_pool_matches_torch(rng, out_size):
+    x = rng.standard_normal((2, 4, 19, 23)).astype(np.float32)
+    ref = F.adaptive_avg_pool2d(torch.from_numpy(x), out_size).numpy()
+    got = np.asarray(ops.adaptive_avg_pool(jnp.asarray(_nhwc(x)), out_size))
+    np.testing.assert_allclose(got, _nhwc(ref), rtol=1e-5, atol=1e-6)
+
+
+def test_avg_pool_matches_torch(rng):
+    x = rng.standard_normal((2, 3, 16, 16)).astype(np.float32)
+    ref = F.avg_pool2d(torch.from_numpy(x), 2, 2).numpy()
+    got = np.asarray(ops.avg_pool(jnp.asarray(_nhwc(x)), 2, 2))
+    np.testing.assert_allclose(got, _nhwc(ref), rtol=1e-5, atol=1e-7)
+
+
+def test_max_pool_argmax_unpool_roundtrip(rng):
+    """pool -> unpool must place the pooled value at the true argmax position
+    (torch max_pool2d(return_indices) + max_unpool2d semantics for k2s2)."""
+    x = rng.standard_normal((2, 1, 8, 8)).astype(np.float32)
+    tx = torch.from_numpy(x)
+    ref_pooled, ref_idx = F.max_pool2d(tx, 2, 2, return_indices=True)
+    ref_unpooled = F.max_unpool2d(ref_pooled, ref_idx, 2, 2).numpy()
+
+    pooled, idx = ops.max_pool_argmax(jnp.asarray(_nhwc(x)))
+    np.testing.assert_allclose(np.asarray(pooled), _nhwc(ref_pooled.numpy()))
+    unpooled = ops.max_unpool(pooled, idx)
+    np.testing.assert_allclose(np.asarray(unpooled), _nhwc(ref_unpooled))
+
+
+def test_max_unpool_with_decoder_values(rng):
+    """SegNet uses encoder indices to unpool DIFFERENT decoder tensors."""
+    x = rng.standard_normal((1, 1, 4, 4)).astype(np.float32)
+    y = rng.standard_normal((1, 1, 2, 2)).astype(np.float32)
+    tx, ty = torch.from_numpy(x), torch.from_numpy(y)
+    _, ref_idx = F.max_pool2d(tx, 2, 2, return_indices=True)
+    ref = F.max_unpool2d(ty, ref_idx, 2, 2).numpy()
+
+    _, idx = ops.max_pool_argmax(jnp.asarray(_nhwc(x)))
+    got = np.asarray(ops.max_unpool(jnp.asarray(_nhwc(y)), idx))
+    np.testing.assert_allclose(got, _nhwc(ref))
+
+
+def test_pixel_shuffle_matches_torch(rng):
+    x = rng.standard_normal((2, 12, 5, 7)).astype(np.float32)
+    ref = F.pixel_shuffle(torch.from_numpy(x), 2).numpy()
+    got = np.asarray(ops.pixel_shuffle(jnp.asarray(_nhwc(x)), 2))
+    np.testing.assert_allclose(got, _nhwc(ref))

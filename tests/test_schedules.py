@@ -1,0 +1,71 @@
+"""Schedule tests vs closed-form values from reference utils/lr_scheduler.py."""
+
+import math
+
+import numpy as np
+import pytest
+
+from segtpu import schedules
+
+
+def test_poly_matches_formula():
+    sched = schedules.poly(0.01, num_epochs=10, iters_per_epoch=100)
+    n = 1000
+    for t in [0, 1, 137, 500, 999]:
+        expect = 0.01 * (1 - t / n) ** 0.9
+        assert float(sched(t)) == pytest.approx(expect, rel=1e-6)
+
+
+def test_poly_warmup():
+    sched = schedules.poly(0.01, num_epochs=10, iters_per_epoch=100, warmup_epochs=2)
+    assert float(sched(0)) == 0.0
+    assert float(sched(100)) == pytest.approx(0.01 * 100 / 200, rel=1e-6)
+    assert float(sched(400)) == pytest.approx(0.01 * (1 - 400 / 1000) ** 0.9, rel=1e-6)
+
+
+def test_one_cycle_endpoints_and_peak():
+    base_lr = 0.01
+    lr_sched, mom_sched = schedules.one_cycle(base_lr, num_epochs=2, iters_per_epoch=100)
+    n, p1 = 200, 60
+    # Start: lr = base/25, momentum = high (0.95).
+    assert float(lr_sched(0)) == pytest.approx(base_lr / 25, rel=1e-6)
+    assert float(mom_sched(0)) == pytest.approx(0.95, rel=1e-6)
+    # Peak at end of phase 1: lr = base, momentum = low (0.85).
+    assert float(lr_sched(p1)) == pytest.approx(base_lr, rel=1e-6)
+    assert float(mom_sched(p1)) == pytest.approx(0.85, rel=1e-6)
+    # End: lr ~ base/(25e4), momentum back to high.
+    assert float(lr_sched(n)) == pytest.approx(base_lr / (25 * 1e4), rel=1e-4)
+    assert float(mom_sched(n)) == pytest.approx(0.95, rel=1e-6)
+
+
+def test_one_cycle_matches_reference_formula():
+    """Spot-check mid-phase values against the exact cosine formulas of
+    reference utils/lr_scheduler.py:42-59."""
+    base_lr, n_epochs, ipe = 0.02, 3, 50
+    lr_sched, mom_sched = schedules.one_cycle(base_lr, n_epochs, ipe)
+    n = n_epochs * ipe
+    p1 = int(n * 0.3)
+    low, final = base_lr / 25, base_lr / 25e4
+    for t in [5, 20, p1 - 1]:
+        cos = (1 + math.cos(math.pi * t / p1)) / 2
+        assert float(lr_sched(t)) == pytest.approx(base_lr - (base_lr - low) * cos, rel=1e-5)
+        assert float(mom_sched(t)) == pytest.approx(0.85 + 0.1 * cos, rel=1e-5)
+    for t in [p1 + 1, p1 + 30, n - 1]:
+        t2 = t - p1
+        cos = (1 + math.cos(math.pi * t2 / (n - p1))) / 2
+        assert float(lr_sched(t)) == pytest.approx(final + (base_lr - final) * cos, rel=1e-5)
+        assert float(mom_sched(t)) == pytest.approx(0.95 - 0.1 * cos, rel=1e-5)
+
+
+def test_registry():
+    assert schedules.get_schedule("Poly") is schedules.poly
+    assert schedules.get_schedule("OneCycle") is schedules.one_cycle
+    with pytest.raises(KeyError):
+        schedules.get_schedule("nope")
+
+
+def test_poly_monotone_decreasing():
+    sched = schedules.poly(0.01, 5, 100)
+    vals = [float(sched(t)) for t in range(0, 500, 25)]
+    assert all(a >= b for a, b in zip(vals, vals[1:]))
+    assert np.all(np.asarray(vals) >= 0)
