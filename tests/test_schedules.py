@@ -13,14 +13,14 @@ def test_poly_matches_formula():
     n = 1000
     for t in [0, 1, 137, 500, 999]:
         expect = 0.01 * (1 - t / n) ** 0.9
-        assert float(sched(t)) == pytest.approx(expect, rel=1e-6)
+        assert float(sched(t)) == pytest.approx(expect, rel=1e-4)
 
 
 def test_poly_warmup():
     sched = schedules.poly(0.01, num_epochs=10, iters_per_epoch=100, warmup_epochs=2)
     assert float(sched(0)) == 0.0
-    assert float(sched(100)) == pytest.approx(0.01 * 100 / 200, rel=1e-6)
-    assert float(sched(400)) == pytest.approx(0.01 * (1 - 400 / 1000) ** 0.9, rel=1e-6)
+    assert float(sched(100)) == pytest.approx(0.01 * 100 / 200, rel=1e-4)
+    assert float(sched(400)) == pytest.approx(0.01 * (1 - 400 / 1000) ** 0.9, rel=1e-4)
 
 
 def test_one_cycle_endpoints_and_peak():
@@ -28,14 +28,14 @@ def test_one_cycle_endpoints_and_peak():
     lr_sched, mom_sched = schedules.one_cycle(base_lr, num_epochs=2, iters_per_epoch=100)
     n, p1 = 200, 60
     # Start: lr = base/25, momentum = high (0.95).
-    assert float(lr_sched(0)) == pytest.approx(base_lr / 25, rel=1e-6)
-    assert float(mom_sched(0)) == pytest.approx(0.95, rel=1e-6)
+    assert float(lr_sched(0)) == pytest.approx(base_lr / 25, rel=1e-4)
+    assert float(mom_sched(0)) == pytest.approx(0.95, rel=1e-4)
     # Peak at end of phase 1: lr = base, momentum = low (0.85).
-    assert float(lr_sched(p1)) == pytest.approx(base_lr, rel=1e-6)
-    assert float(mom_sched(p1)) == pytest.approx(0.85, rel=1e-6)
+    assert float(lr_sched(p1)) == pytest.approx(base_lr, rel=1e-4)
+    assert float(mom_sched(p1)) == pytest.approx(0.85, rel=1e-4)
     # End: lr ~ base/(25e4), momentum back to high.
     assert float(lr_sched(n)) == pytest.approx(base_lr / (25 * 1e4), rel=1e-4)
-    assert float(mom_sched(n)) == pytest.approx(0.95, rel=1e-6)
+    assert float(mom_sched(n)) == pytest.approx(0.95, rel=1e-4)
 
 
 def test_one_cycle_matches_reference_formula():
@@ -48,13 +48,13 @@ def test_one_cycle_matches_reference_formula():
     low, final = base_lr / 25, base_lr / 25e4
     for t in [5, 20, p1 - 1]:
         cos = (1 + math.cos(math.pi * t / p1)) / 2
-        assert float(lr_sched(t)) == pytest.approx(base_lr - (base_lr - low) * cos, rel=1e-5)
-        assert float(mom_sched(t)) == pytest.approx(0.85 + 0.1 * cos, rel=1e-5)
+        assert float(lr_sched(t)) == pytest.approx(base_lr - (base_lr - low) * cos, rel=1e-4)
+        assert float(mom_sched(t)) == pytest.approx(0.85 + 0.1 * cos, rel=1e-4)
     for t in [p1 + 1, p1 + 30, n - 1]:
         t2 = t - p1
         cos = (1 + math.cos(math.pi * t2 / (n - p1))) / 2
-        assert float(lr_sched(t)) == pytest.approx(final + (base_lr - final) * cos, rel=1e-5)
-        assert float(mom_sched(t)) == pytest.approx(0.95 - 0.1 * cos, rel=1e-5)
+        assert float(lr_sched(t)) == pytest.approx(final + (base_lr - final) * cos, rel=1e-4)
+        assert float(mom_sched(t)) == pytest.approx(0.95 - 0.1 * cos, rel=1e-4)
 
 
 def test_registry():
