@@ -1,0 +1,252 @@
+"""Core layers: Conv / ConvTranspose / BatchNorm with torch-parity semantics.
+
+Design notes (TPU-first):
+
+* NHWC activations, HWIO kernels — the layouts XLA:TPU tiles onto the MXU
+  without transposes.
+* BatchNorm computes batch statistics with plain ``jnp.mean`` over the global
+  logical array. Under ``jit`` with a sharded batch the GSPMD partitioner
+  inserts the cross-replica all-reduce automatically, so this one layer *is*
+  the synchronized BatchNorm that costs the reference 741 lines of
+  thread-rendezvous machinery (reference utils/sync_batchnorm/).
+* ConvTranspose implements exact ``nn.ConvTranspose2d`` arithmetic
+  (kernel/stride/padding/output_padding) via an input-dilated convolution,
+  which XLA lowers to a single MXU conv.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Sequence, Tuple, Union
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Dtype = Any
+
+
+def _pair(v) -> Tuple[int, int]:
+    return (v, v) if isinstance(v, int) else tuple(v)
+
+
+# ---------------------------------------------------------------------------
+# Initializers (torch-parity)
+# ---------------------------------------------------------------------------
+
+def torch_conv_kernel_init(key, shape, dtype=jnp.float32):
+    """torch ``nn.Conv2d`` default: kaiming_uniform(a=sqrt(5)) ==
+    U(-1/sqrt(fan_in), 1/sqrt(fan_in)) with fan_in = kh*kw*in."""
+    fan_in = shape[0] * shape[1] * shape[2]
+    bound = 1.0 / math.sqrt(fan_in)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def torch_conv_bias_init(fan_in: int) -> Callable:
+    """torch conv/linear default bias: U(-1/sqrt(fan_in), 1/sqrt(fan_in))."""
+    bound = 1.0 / math.sqrt(fan_in)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def kaiming_normal_init(key, shape, dtype=jnp.float32):
+    """torch ``kaiming_normal_(w, nonlinearity='relu')``: N(0, 2/fan_in).
+
+    Used by the reference's decoder initializer
+    (reference utils/helpers.py:12-16, models/unet.py:83-91).
+    """
+    fan_in = shape[0] * shape[1] * shape[2]
+    std = math.sqrt(2.0 / fan_in)
+    return jax.random.normal(key, shape, dtype) * std
+
+
+# ---------------------------------------------------------------------------
+# Conv
+# ---------------------------------------------------------------------------
+
+class Conv(nn.Module):
+    """2-D convolution with torch ``nn.Conv2d`` semantics on NHWC input.
+
+    Kernel is HWIO; ``padding`` is the symmetric int/pair torch uses.
+    """
+
+    features: int
+    kernel_size: Union[int, Tuple[int, int]] = 3
+    stride: Union[int, Tuple[int, int]] = 1
+    padding: Union[int, Tuple[int, int]] = 0
+    dilation: Union[int, Tuple[int, int]] = 1
+    groups: int = 1
+    use_bias: bool = True
+    kernel_init: Callable = torch_conv_kernel_init
+    bias_init: Optional[Callable] = None
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kh, kw = _pair(self.kernel_size)
+        sh, sw = _pair(self.stride)
+        ph, pw = _pair(self.padding)
+        dh, dw = _pair(self.dilation)
+        in_ch = x.shape[-1]
+        assert in_ch % self.groups == 0
+        kshape = (kh, kw, in_ch // self.groups, self.features)
+        kernel = self.param("kernel", self.kernel_init, kshape)
+        dtype = self.dtype or x.dtype
+        y = jax.lax.conv_general_dilated(
+            x.astype(dtype),
+            kernel.astype(dtype),
+            window_strides=(sh, sw),
+            padding=((ph, ph), (pw, pw)),
+            rhs_dilation=(dh, dw),
+            feature_group_count=self.groups,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            fan_in = kh * kw * (in_ch // self.groups)
+            bias_init = self.bias_init or torch_conv_bias_init(fan_in)
+            bias = self.param("bias", bias_init, (self.features,))
+            y = y + bias.astype(dtype)
+        return y
+
+
+class ConvTranspose(nn.Module):
+    """2-D transposed convolution with exact ``nn.ConvTranspose2d`` arithmetic.
+
+    Output size = (in-1)*stride - 2*padding + dilation*(k-1) + output_padding + 1.
+    Implemented as an lhs-dilated conv with a spatially-flipped kernel — a
+    single fused MXU conv, no scatter. Kernel param is stored HWIO with
+    I=input channels, O=output channels (converter maps torch's (I,O,kh,kw)).
+    """
+
+    features: int
+    kernel_size: Union[int, Tuple[int, int]] = 2
+    stride: Union[int, Tuple[int, int]] = 2
+    padding: Union[int, Tuple[int, int]] = 0
+    output_padding: Union[int, Tuple[int, int]] = 0
+    dilation: Union[int, Tuple[int, int]] = 1
+    use_bias: bool = True
+    kernel_init: Callable = torch_conv_kernel_init
+    bias_init: Optional[Callable] = None
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kh, kw = _pair(self.kernel_size)
+        sh, sw = _pair(self.stride)
+        ph, pw = _pair(self.padding)
+        oph, opw = _pair(self.output_padding)
+        dh, dw = _pair(self.dilation)
+        in_ch = x.shape[-1]
+        # Torch's ConvTranspose2d kernel is (in, out, kh, kw) and its fan_in
+        # for default init is out*kh*kw (weight.size(1)*k*k).
+        kshape = (kh, kw, in_ch, self.features)
+        kernel = self.param("kernel", self.kernel_init, kshape)
+        dtype = self.dtype or x.dtype
+        # Transposed conv == conv over an lhs-dilated input with the kernel
+        # flipped spatially and padding (dilation*(k-1) - p) per side, plus
+        # output_padding on the trailing side.
+        flipped = jnp.flip(kernel, axis=(0, 1)).astype(dtype)
+        pad_h = dh * (kh - 1) - ph
+        pad_w = dw * (kw - 1) - pw
+        y = jax.lax.conv_general_dilated(
+            x.astype(dtype),
+            flipped,
+            window_strides=(1, 1),
+            padding=((pad_h, pad_h + oph), (pad_w, pad_w + opw)),
+            lhs_dilation=(sh, sw),
+            rhs_dilation=(dh, dw),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            fan_in = kh * kw * self.features
+            bias_init = self.bias_init or torch_conv_bias_init(fan_in)
+            bias = self.param("bias", bias_init, (self.features,))
+            y = y + bias.astype(dtype)
+        return y
+
+
+# ---------------------------------------------------------------------------
+# BatchNorm
+# ---------------------------------------------------------------------------
+
+class BatchNorm(nn.Module):
+    """BatchNorm2d with torch semantics; cross-replica sync is free under jit.
+
+    * eps 1e-5, running-stat momentum 0.1 (torch convention: new = (1-m)*old
+      + m*batch), affine by default.
+    * ``use_running_average`` is threaded from the model's ``train`` /
+      ``freeze_bn`` flags; this replaces both ``module.eval()`` freezing
+      (reference models/pspnet.py:103-105) and the vendored SyncBN
+      (reference utils/sync_batchnorm/batchnorm.py:51-145): batch statistics
+      computed over the globally-sharded batch axis are all-reduced by the
+      GSPMD partitioner over ICI.
+    * Running var uses the unbiased estimate for the running buffer but the
+      biased one for normalization — exactly torch.
+    """
+
+    use_running_average: bool = False
+    momentum: float = 0.1
+    epsilon: float = 1e-5
+    dtype: Optional[Dtype] = None
+    scale_init: Callable = nn.initializers.ones
+    bias_init: Callable = nn.initializers.zeros
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, use_running_average: Optional[bool] = None) -> jnp.ndarray:
+        use_ra = (self.use_running_average if use_running_average is None
+                  else use_running_average)
+        features = x.shape[-1]
+        scale = self.param("scale", self.scale_init, (features,))
+        bias = self.param("bias", self.bias_init, (features,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((features,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((features,), jnp.float32))
+
+        if use_ra:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.float32)
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(xf, axis=axes)
+            var = jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mean)
+            if not self.is_initializing():
+                n = 1
+                for a in axes:
+                    n *= x.shape[a]
+                unbiased = var * (n / max(n - 1, 1))
+                m = self.momentum
+                ra_mean.value = (1 - m) * ra_mean.value + m * mean
+                ra_var.value = (1 - m) * ra_var.value + m * unbiased
+
+        dtype = self.dtype or x.dtype
+        inv = jax.lax.rsqrt(var + self.epsilon) * scale
+        y = (x.astype(jnp.float32) - mean) * inv + bias
+        return y.astype(dtype)
+
+
+class ConvBNAct(nn.Module):
+    """conv -> BN -> activation, the zoo's workhorse block."""
+
+    features: int
+    kernel_size: Union[int, Tuple[int, int]] = 3
+    stride: Union[int, Tuple[int, int]] = 1
+    padding: Union[int, Tuple[int, int]] = 0
+    dilation: Union[int, Tuple[int, int]] = 1
+    groups: int = 1
+    use_bias: bool = False
+    act: Optional[Callable] = nn.relu
+    kernel_init: Callable = torch_conv_kernel_init
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        x = Conv(self.features, self.kernel_size, self.stride, self.padding,
+                 self.dilation, self.groups, self.use_bias,
+                 kernel_init=self.kernel_init, name="conv")(x)
+        x = BatchNorm(name="bn")(x, use_running_average=not train)
+        if self.act is not None:
+            x = self.act(x)
+        return x
