@@ -138,7 +138,9 @@ def _layer_plan(
         else:
             dil[3] = [2] + [4] * (counts[3] - 1)
     else:  # torchvision surgery, reference models/deeplabv3_plus.py:35-53
-        if output_stride == 16:
+        if output_stride == 32:
+            s3, s4, d3, d4 = 2, 2, 1, 1  # stock torchvision, no surgery
+        elif output_stride == 16:
             s3, s4, d3, d4 = 2, 1, 1, 2
         elif output_stride == 8:
             s3, s4, d3, d4 = 1, 1, 2, 4

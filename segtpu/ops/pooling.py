@@ -42,7 +42,9 @@ def max_pool(x, window=2, stride=None, padding=0, ceil_mode=False):
     stride = window if stride is None else stride
     if isinstance(stride, int):
         stride = (stride, stride)
-    neg = jnp.finfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    # -inf (not finfo.min) so XLA recognizes reduce_window_max — the generic
+    # reduce_window has no reverse-mode autodiff rule.
+    neg = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
     x = _pad_hw(x, padding, neg)
     if ceil_mode:
         # torch ceil_mode: allow a final partial window; pad the tail so the
@@ -139,7 +141,7 @@ def max_pool_argmax(x: jnp.ndarray):
     the zoo's usage where inputs are even-sized.
     """
     b, h, w, c = x.shape
-    neg = jnp.finfo(x.dtype).min
+    neg = -jnp.inf
     ph, pw = h % 2, w % 2
     if ph or pw:
         x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), constant_values=neg)

@@ -1,0 +1,86 @@
+"""Model zoo: init/forward shape tests, jit-compilability, aux-head contract."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from segtpu.models import MODELS, get_model
+
+NUM_CLASSES = 7
+
+# (name, kwargs, input hw) — small configs so the suite stays fast.
+CASES = [
+    ("UNet", {}, 64),
+    ("UNetResnet", {"backbone": "resnet50"}, 64),
+    ("SegNet", {}, 64),
+    ("SegResNet", {}, 64),
+    ("ENet", {}, 64),
+    ("GCN", {"backbone": "resnet50"}, 64),
+    ("GCN", {"backbone": "resnet50", "use_resnet_gcn": True, "use_deconv": True}, 64),
+    ("DeepLab", {"backbone": "resnet50", "output_stride": 16}, 64),
+    ("DeepLab", {"backbone": "xception", "output_stride": 16}, 64),
+    ("DeepLab_DUC_HDC", {"backbone": "resnet50"}, 64),
+    ("UperNet", {"backbone": "resnet50"}, 64),
+    ("PSPNet", {"backbone": "resnet50"}, 64),
+    ("PSPDenseNet", {"backbone": "densenet121"}, 64),
+    ("FCN8", {}, 64),
+]
+
+
+@pytest.mark.parametrize("name,kwargs,hw", CASES,
+                         ids=[f"{c[0]}-{i}" for i, c in enumerate(CASES)])
+def test_model_forward_shapes(name, kwargs, hw):
+    model = get_model(name, num_classes=NUM_CLASSES, **kwargs)
+    x = jnp.zeros((1, hw, hw, 3), jnp.float32)
+    key = jax.random.PRNGKey(0)
+    variables = model.init({"params": key, "dropout": key}, x, train=False)
+    out = model.apply(variables, x, train=False)
+    assert set(out) == {"out"}
+    assert out["out"].shape == (1, hw, hw, NUM_CLASSES), out["out"].shape
+    assert np.isfinite(np.asarray(out["out"])).all()
+
+
+def test_pspnet_aux_head_train_only():
+    model = get_model("PSPNet", num_classes=NUM_CLASSES, backbone="resnet50")
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    key = jax.random.PRNGKey(0)
+    variables = model.init({"params": key, "dropout": key}, x, train=False)
+    out, _ = model.apply(variables, x, train=True,
+                         rngs={"dropout": key}, mutable=["batch_stats"])
+    assert set(out) == {"out", "aux"}
+    assert out["aux"].shape == (1, 64, 64, NUM_CLASSES)
+    out_eval = model.apply(variables, x, train=False)
+    assert set(out_eval) == {"out"}
+
+
+def test_backbone_scope_present_for_differential_lr():
+    model = get_model("PSPNet", num_classes=NUM_CLASSES, backbone="resnet50")
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(0)}, x, train=False)
+    assert "backbone" in variables["params"]
+    non_backbone = [k for k in variables["params"] if k != "backbone"]
+    assert non_backbone, "decoder params must live outside the backbone scope"
+
+
+def test_unet_jit_and_grad():
+    model = get_model("UNet", num_classes=NUM_CLASSES)
+    x = jnp.ones((2, 64, 64, 3), jnp.float32)
+    labels = jnp.zeros((2, 64, 64), jnp.int32)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+
+    @jax.jit
+    def loss_fn(params, batch_stats, x, y):
+        out, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats}, x, train=True,
+            mutable=["batch_stats"])
+        logits = out["out"].astype(jnp.float32)
+        logp = jax.nn.log_softmax(logits)
+        loss = -jnp.mean(jnp.take_along_axis(logp, y[..., None], axis=-1))
+        return loss
+
+    g = jax.grad(loss_fn)(variables["params"], variables["batch_stats"], x, labels)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    assert any(np.abs(np.asarray(l)).sum() > 0 for l in leaves)
