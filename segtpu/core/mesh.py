@@ -1,0 +1,50 @@
+"""Device mesh and sharding helpers — the communication substrate.
+
+The reference's only cross-device traffic is DataParallel scatter/gather and
+SyncBN reduce-broadcast (SURVEY.md §2.4). Here both collapse into ONE
+mechanism: a ``Mesh`` with a ``data`` axis (ICI) and an optional ``model``
+axis, plus sharding annotations on the jitted step. The GSPMD partitioner
+inserts the gradient all-reduce and the BN-statistics all-reduce — there is
+no hand-written collective in the hot path, which is exactly what lets XLA
+overlap them with compute.
+
+A ``dcn`` axis can be prepended for multislice later; everything below is
+written against axis NAMES so that change is local.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(devices: Optional[Sequence] = None, model_parallel: int = 1) -> Mesh:
+    """Mesh over (data, model). ``model_parallel=1`` (the default) gives pure
+    DP — the reference's only strategy. A >1 model axis shards channels of
+    the big backbone convs (optional capability, not parity-required)."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    assert n % model_parallel == 0, (n, model_parallel)
+    arr = np.array(devices).reshape(n // model_parallel, model_parallel)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch-dim sharding over the data axis (NHWC batches, integer labels)."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Device-put a host batch (pytree of np arrays) sharded over data."""
+    sh = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda a: jax.device_put(a, sh), batch)

@@ -1,0 +1,116 @@
+"""Jitted train / eval steps with device-resident metrics.
+
+Replaces the reference hot loop (reference trainer.py:37-107): one jit'd
+function does forward + aux loss + backward + optimizer + seg-metric
+accumulation. Differences by design:
+
+* The reference syncs device->host EVERY iteration for metrics
+  (reference trainer.py:72,84-85, utils/metrics.py:46,57). Here the
+  (correct, labeled, inter, union) accumulators are computed inside the step
+  and stay on device; the host only reads them at log boundaries.
+* Batch sharded over the mesh ``data`` axis — the gradient all-reduce and BN
+  statistics all-reduce are inserted by GSPMD over ICI (no DataParallel
+  gather, no loss.mean() over replicas, reference trainer.py:68-69).
+* Mixed precision: activations in bfloat16 on the MXU, BN statistics / loss /
+  optimizer state in float32. ``donate`` on the state buffers keeps HBM flat.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from segtpu.metrics import SegStats, seg_stats
+from segtpu.core.mesh import batch_sharding, replicated_sharding
+
+
+def make_train_step(
+    model,
+    loss_fn: Callable,
+    num_classes: int,
+    ignore_index: int = 255,
+    aux_weight: float = 0.4,
+    compute_dtype=jnp.bfloat16,
+    mesh=None,
+):
+    """Returns step(state, images, labels, rng) -> (state, loss, SegStats).
+
+    ``loss_fn(logits, labels, ignore_index)`` — any of segtpu.losses.
+    Aux-head models contribute ``loss + aux_weight * loss_aux``
+    (reference trainer.py:57-66).
+    """
+
+    def step(state, images, labels, rng):
+        dropout_rng = jax.random.fold_in(rng, state.step)
+
+        def compute_loss(params):
+            outputs, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                images.astype(compute_dtype),
+                train=True,
+                rngs={"dropout": dropout_rng},
+                mutable=["batch_stats"],
+            )
+            logits = outputs["out"].astype(jnp.float32)
+            loss = loss_fn(logits, labels, ignore_index=ignore_index)
+            if "aux" in outputs:
+                aux = outputs["aux"].astype(jnp.float32)
+                loss = loss + aux_weight * loss_fn(aux, labels,
+                                                   ignore_index=ignore_index)
+            return loss, (logits, mutated)
+
+        (loss, (logits, mutated)), grads = jax.value_and_grad(
+            compute_loss, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads).replace(
+            batch_stats=mutated["batch_stats"])
+        preds = jnp.argmax(logits, axis=-1)
+        stats = seg_stats(preds, labels, num_classes)
+        return new_state, loss, stats
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,))
+    bs = batch_sharding(mesh)
+    rep = replicated_sharding(mesh)
+    return jax.jit(
+        step,
+        in_shardings=(rep, bs, bs, rep),
+        out_shardings=(rep, rep, rep),
+        donate_argnums=(0,),
+    )
+
+
+def make_eval_step(
+    model,
+    loss_fn: Callable,
+    num_classes: int,
+    ignore_index: int = 255,
+    compute_dtype=jnp.bfloat16,
+    mesh=None,
+    return_logits: bool = False,
+):
+    """Returns step(state, images, labels) -> (loss, SegStats[, logits])."""
+
+    def step(state, images, labels):
+        outputs = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            images.astype(compute_dtype),
+            train=False,
+        )
+        logits = outputs["out"].astype(jnp.float32)
+        loss = loss_fn(logits, labels, ignore_index=ignore_index)
+        preds = jnp.argmax(logits, axis=-1)
+        stats = seg_stats(preds, labels, num_classes)
+        if return_logits:
+            return loss, stats, logits
+        return loss, stats
+
+    if mesh is None:
+        return jax.jit(step)
+    bs = batch_sharding(mesh)
+    rep = replicated_sharding(mesh)
+    out_sh = (rep, rep, bs) if return_logits else (rep, rep)
+    return jax.jit(step, in_shardings=(rep, bs, bs),
+                   out_shardings=out_sh)

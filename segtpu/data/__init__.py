@@ -1,0 +1,27 @@
+"""Dataset registry — same loader names/ctor surface as the reference
+(reference dataloaders/__init__.py:1-5): VOC, COCO, ADE20K, CityScapes,
+DeepScene; plus Synthetic (the in-memory test/benchmark fixture that replaces
+dataset downloads, SURVEY.md §4)."""
+
+from segtpu.data.base import BaseDataset, DataLoader, DevicePrefetcher  # noqa: F401
+from segtpu.data.voc import VOC
+from segtpu.data.cityscapes import CityScapes
+from segtpu.data.ade20k import ADE20K
+from segtpu.data.coco import COCO
+from segtpu.data.deepscene import DeepScene
+from segtpu.data.synthetic import Synthetic
+
+DATASETS = {
+    "VOC": VOC,
+    "COCO": COCO,
+    "ADE20K": ADE20K,
+    "CityScapes": CityScapes,
+    "DeepScene": DeepScene,
+    "Synthetic": Synthetic,
+}
+
+
+def get_loader(name: str, **kwargs):
+    if name not in DATASETS:
+        raise KeyError(f"unknown dataset {name!r}; available: {sorted(DATASETS)}")
+    return DATASETS[name](**kwargs)

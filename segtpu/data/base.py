@@ -1,0 +1,292 @@
+"""Base dataset + loader: host-side numpy/cv2 pipeline feeding the mesh.
+
+Faithful to the reference augmentation semantics (reference
+base/base_dataset.py:40-120): random long-side scale 0.5-2x of base_size
+(cv2 INTER_LINEAR / INTER_NEAREST), +/-10 deg rotation via warpAffine,
+zero-pad to crop + random crop, h-flip, Gaussian blur sigma in [0,1.5);
+val = scale-shorter-side-to-crop + center crop. Normalization is
+torchvision ToTensor+Normalize ((x/255 - mean)/std) — but output stays HWC
+float32 (NHWC batches are the TPU layout).
+
+Loader design (replaces torch DataLoader + the CUDA-stream DataPrefetcher,
+reference base/base_dataloader.py): a thread pool decodes/augments samples,
+batches are assembled into fixed static shapes (crop_size) so XLA compiles
+once, and the device prefetcher double-buffers ``device_put`` onto the mesh
+so H2D rides behind the previous step's compute — the TPU equivalent of the
+reference's side-stream prefetch.
+"""
+
+from __future__ import annotations
+
+import random
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from queue import Queue
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import cv2
+import numpy as np
+
+cv2.setNumThreads(0)
+
+
+class BaseDataset:
+    """Abstract dataset. Subclasses set ``num_classes``/``palette`` before
+    calling super().__init__ and implement ``_set_files`` and
+    ``_load_data(index) -> (image HWC float32 [0,255], label HW int32, id)``.
+    """
+
+    def __init__(self, root, split, mean, std, base_size=None, augment=True,
+                 val=False, crop_size=321, scale=True, flip=True, rotate=False,
+                 blur=False, return_id=False):
+        self.root = root
+        self.split = split
+        self.mean = np.asarray(mean, np.float32)
+        self.std = np.asarray(std, np.float32)
+        self.augment = augment
+        self.crop_size = crop_size
+        self.base_size = base_size
+        self.scale = scale
+        self.flip = flip
+        self.rotate = rotate
+        self.blur = blur
+        self.val = val
+        self.return_id = return_id
+        self.files: List = []
+        self._set_files()
+
+    # -- subclass hooks ------------------------------------------------
+    def _set_files(self):
+        raise NotImplementedError
+
+    def _load_data(self, index: int):
+        raise NotImplementedError
+
+    # -- augmentation (host, numpy/cv2 — exact reference semantics) ----
+    def _val_augmentation(self, image, label):
+        if self.crop_size:
+            h, w = label.shape
+            if h < w:
+                h, w = (self.crop_size, int(self.crop_size * w / h))
+            else:
+                h, w = (int(self.crop_size * h / w), self.crop_size)
+            image = cv2.resize(image, (w, h), interpolation=cv2.INTER_LINEAR)
+            # PIL NEAREST, exactly as the reference (base_dataset.py:50) —
+            # cv2's nearest rounds differently and would shift val mIoU.
+            from PIL import Image as PILImage
+
+            label = np.asarray(
+                PILImage.fromarray(label.astype(np.int32)).resize(
+                    (w, h), resample=PILImage.NEAREST), dtype=np.int32)
+            h, w = label.shape
+            start_h = (h - self.crop_size) // 2
+            start_w = (w - self.crop_size) // 2
+            image = image[start_h:start_h + self.crop_size,
+                          start_w:start_w + self.crop_size]
+            label = label[start_h:start_h + self.crop_size,
+                          start_w:start_w + self.crop_size]
+        return image, label
+
+    def _train_augmentation(self, image, label, rng: random.Random):
+        h, w, _ = image.shape
+        if self.base_size:
+            if self.scale:
+                longside = rng.randint(int(self.base_size * 0.5),
+                                       int(self.base_size * 2.0))
+            else:
+                longside = self.base_size
+            if h > w:
+                h, w = (longside, int(1.0 * longside * w / h + 0.5))
+            else:
+                h, w = (int(1.0 * longside * h / w + 0.5), longside)
+            image = cv2.resize(image, (w, h), interpolation=cv2.INTER_LINEAR)
+            label = cv2.resize(label.astype(np.float32), (w, h),
+                               interpolation=cv2.INTER_NEAREST).astype(np.int32)
+
+        h, w, _ = image.shape
+        if self.rotate:
+            angle = rng.randint(-10, 10)
+            center = (w / 2, h / 2)
+            rot = cv2.getRotationMatrix2D(center, angle, 1.0)
+            image = cv2.warpAffine(image, rot, (w, h), flags=cv2.INTER_LINEAR)
+            label = cv2.warpAffine(label.astype(np.float32), rot, (w, h),
+                                   flags=cv2.INTER_NEAREST).astype(np.int32)
+
+        if self.crop_size:
+            pad_h = max(self.crop_size - h, 0)
+            pad_w = max(self.crop_size - w, 0)
+            if pad_h > 0 or pad_w > 0:
+                image = cv2.copyMakeBorder(image, 0, pad_h, 0, pad_w,
+                                           cv2.BORDER_CONSTANT, value=0)
+                label = cv2.copyMakeBorder(label, 0, pad_h, 0, pad_w,
+                                           cv2.BORDER_CONSTANT, value=0)
+            h, w = label.shape
+            start_h = rng.randint(0, h - self.crop_size)
+            start_w = rng.randint(0, w - self.crop_size)
+            image = image[start_h:start_h + self.crop_size,
+                          start_w:start_w + self.crop_size]
+            label = label[start_h:start_h + self.crop_size,
+                          start_w:start_w + self.crop_size]
+
+        if self.flip and rng.random() > 0.5:
+            image = np.fliplr(image).copy()
+            label = np.fliplr(label).copy()
+
+        if self.blur:
+            sigma = rng.random()
+            ksize = int(3.3 * sigma)
+            ksize = ksize + 1 if ksize % 2 == 0 else ksize
+            image = cv2.GaussianBlur(image, (ksize, ksize), sigmaX=sigma,
+                                     sigmaY=sigma,
+                                     borderType=cv2.BORDER_REFLECT_101)
+        return image, label
+
+    def normalize(self, image: np.ndarray) -> np.ndarray:
+        return (image.astype(np.float32) / 255.0 - self.mean) / self.std
+
+    def __len__(self):
+        return len(self.files)
+
+    def get(self, index: int, rng: Optional[random.Random] = None):
+        """(image HWC float32 normalized, label HW int32[, id])."""
+        image, label, image_id = self._load_data(index)
+        label = np.asarray(label, np.int32)
+        if self.val:
+            image, label = self._val_augmentation(image, label)
+        elif self.augment:
+            image, label = self._train_augmentation(image, label,
+                                                    rng or random)
+        image = self.normalize(np.asarray(image, np.float32))
+        if self.return_id:
+            return image, label, image_id
+        return image, label
+
+    def __getitem__(self, index):
+        return self.get(index)
+
+    def __repr__(self):
+        return (f"Dataset: {type(self).__name__}\n    # data: {len(self)}\n"
+                f"    Split: {self.split}\n    Root: {self.root}")
+
+
+class DataLoader:
+    """Threaded batching loader with fixed shapes and optional seeded
+    train/val split (reference base/base_dataloader.py:24-47: np.seed(0)
+    shuffle, first ``val_split`` fraction becomes val)."""
+
+    def __init__(self, dataset: BaseDataset, batch_size: int, shuffle: bool,
+                 num_workers: int = 4, val_split: float = 0.0,
+                 drop_last: Optional[bool] = None, seed: int = 0,
+                 indices: Optional[Sequence[int]] = None):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.num_workers = max(1, num_workers)
+        self.seed = seed
+        self._epoch = 0
+        self.val_split = val_split
+
+        if indices is not None:
+            self.indices = np.asarray(indices)
+            self.shuffle = shuffle
+        elif val_split:
+            n = len(dataset)
+            split_idx = int(n * val_split)
+            rs = np.random.RandomState(0)
+            idx = np.arange(n)
+            rs.shuffle(idx)
+            self._val_indices = idx[:split_idx]
+            self.indices = idx[split_idx:]
+            self.shuffle = True  # subset is sampled randomly each epoch
+        else:
+            self._val_indices = None
+            self.indices = np.arange(len(dataset))
+            self.shuffle = shuffle
+        # static shapes: train drops the ragged tail; val pads instead (the
+        # eval loop masks the padding via ignore_index)
+        self.drop_last = (not dataset.val) if drop_last is None else drop_last
+
+    def get_val_loader(self) -> Optional["DataLoader"]:
+        if getattr(self, "_val_indices", None) is None or self.val_split == 0:
+            return None
+        return DataLoader(self.dataset, self.batch_size, False,
+                          self.num_workers, indices=self._val_indices)
+
+    def __len__(self):
+        n = len(self.indices)
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        order = self.indices.copy()
+        if self.shuffle:
+            np.random.RandomState(self.seed + self._epoch).shuffle(order)
+        self._epoch += 1
+        bs = self.batch_size
+
+        def fetch(args):
+            i, idx = args
+            # deterministic per (seed, epoch, sample): int-tuple hash is
+            # stable across processes (PYTHONHASHSEED only salts strings)
+            rng = random.Random(hash((self.seed, self._epoch, int(idx), i)))
+            return self.dataset.get(int(idx), rng=rng)
+
+        n_batches = len(self)
+        with ThreadPoolExecutor(self.num_workers) as pool:
+            for b in range(n_batches):
+                chunk = order[b * bs:(b + 1) * bs]
+                samples = list(pool.map(fetch, enumerate(chunk)))
+                images = np.stack([s[0] for s in samples])
+                labels = np.stack([s[1] for s in samples])
+                if len(samples) < bs:  # pad the ragged val tail
+                    pad = bs - len(samples)
+                    images = np.concatenate(
+                        [images, np.zeros((pad,) + images.shape[1:], images.dtype)])
+                    labels = np.concatenate(
+                        [labels, np.full((pad,) + labels.shape[1:], -100,
+                                         labels.dtype)])
+                yield images, labels
+
+
+class DevicePrefetcher:
+    """Double-buffered host->device pipeline: the next batch's ``device_put``
+    (sharded over the mesh) overlaps the current step. TPU analog of the
+    reference's CUDA-stream DataPrefetcher (base/base_dataloader.py:49-85)."""
+
+    def __init__(self, loader: DataLoader, mesh=None, depth: int = 2):
+        self.loader = loader
+        self.mesh = mesh
+        self.depth = depth
+
+    def __len__(self):
+        return len(self.loader)
+
+    def __iter__(self):
+        from segtpu.core.mesh import shard_batch
+        import jax
+
+        q: Queue = Queue(maxsize=self.depth)
+        err: List[BaseException] = []
+
+        def produce():
+            try:
+                for batch in self.loader:
+                    if self.mesh is not None:
+                        batch = shard_batch(self.mesh, batch)
+                    else:
+                        batch = jax.tree_util.tree_map(jax.device_put, batch)
+                    q.put(batch)
+            except BaseException as e:  # surface worker errors to the consumer
+                err.append(e)
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                if err:
+                    raise err[0]
+                return
+            yield item

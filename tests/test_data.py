@@ -1,0 +1,107 @@
+"""Data pipeline: augmentation semantics, loader mechanics, prefetcher."""
+
+import numpy as np
+import pytest
+
+from segtpu.data import Synthetic, DATASETS
+from segtpu.data.base import DataLoader, DevicePrefetcher
+from segtpu.data.synthetic import SyntheticDataset
+
+
+def _make_ds(**kw):
+    base = dict(num_classes=6, size=16, image_hw=80, root="", split="train",
+                mean=[0.5] * 3, std=[0.25] * 3, augment=True, crop_size=64,
+                base_size=72, scale=True, flip=True, rotate=True, blur=True,
+                val=False)
+    base.update(kw)
+    return SyntheticDataset(**base)
+
+
+def test_train_augmentation_static_shapes():
+    ds = _make_ds()
+    import random
+    for i in range(8):
+        img, lab = ds.get(i, rng=random.Random(i))
+        assert img.shape == (64, 64, 3)
+        assert lab.shape == (64, 64)
+        assert img.dtype == np.float32 and lab.dtype == np.int32
+
+
+def test_val_augmentation_center_crop():
+    ds = _make_ds(val=True, augment=False, crop_size=48)
+    img, lab = ds.get(0)
+    assert img.shape == (48, 48, 3) and lab.shape == (48, 48)
+
+
+def test_normalization():
+    ds = _make_ds(augment=False, crop_size=None)
+    img, _ = ds.get(0)
+    raw, _, _ = ds._load_data(0)
+    np.testing.assert_allclose(
+        img, (raw / 255.0 - 0.5) / 0.25, rtol=1e-5, atol=1e-5)
+
+
+def test_loader_batches_and_drop_last():
+    loader = Synthetic(batch_size=5, size=16, num_workers=2)
+    assert len(loader) == 3  # drop_last for train: 16 // 5
+    batches = list(loader)
+    assert len(batches) == 3
+    for imgs, labs in batches:
+        assert imgs.shape == (5, 64, 64, 3)
+        assert labs.shape == (5, 64, 64)
+
+
+def test_loader_val_pads_ragged_tail():
+    loader = Synthetic(batch_size=5, size=16, num_workers=2, val=True,
+                       augment=False, shuffle=False)
+    batches = list(loader)
+    assert len(batches) == 4
+    imgs, labs = batches[-1]
+    assert imgs.shape[0] == 5
+    # pad labels are -100 => excluded by metrics/losses (outside [0, C))
+    assert (labs[-4:] == -100).all()
+
+
+def test_val_split_is_seeded_and_disjoint():
+    l1 = Synthetic(batch_size=4, size=32, val_split=0.25)
+    l2 = Synthetic(batch_size=4, size=32, val_split=0.25)
+    v1, v2 = l1.get_val_loader(), l2.get_val_loader()
+    np.testing.assert_array_equal(v1.indices, v2.indices)
+    assert len(v1.indices) == 8
+    assert set(v1.indices).isdisjoint(set(l1.indices))
+    # parity with the reference's np.random.seed(0) shuffle
+    rs = np.random.RandomState(0)
+    idx = np.arange(32)
+    rs.shuffle(idx)
+    np.testing.assert_array_equal(v1.indices, idx[:8])
+
+
+def test_shuffle_determinism_and_epoch_variation():
+    l1 = Synthetic(batch_size=4, size=16, shuffle=True)
+    l2 = Synthetic(batch_size=4, size=16, shuffle=True)
+    b1 = [lab.copy() for _, lab in l1]
+    b2 = [lab.copy() for _, lab in l2]
+    for a, b in zip(b1, b2):
+        np.testing.assert_array_equal(a, b)  # same seed, same epoch
+    b1e2 = [lab.copy() for _, lab in l1]
+    assert any(not np.array_equal(a, b) for a, b in zip(b1, b1e2))
+
+
+def test_device_prefetcher():
+    import jax
+
+    from segtpu.core.mesh import make_mesh
+
+    loader = Synthetic(batch_size=8, size=16, num_workers=2)
+    mesh = make_mesh()
+    count = 0
+    for imgs, labs in DevicePrefetcher(loader, mesh):
+        assert isinstance(imgs, jax.Array)
+        assert imgs.shape == (8, 64, 64, 3)
+        count += 1
+    assert count == len(loader)
+
+
+def test_registry_names_match_reference():
+    assert set(DATASETS) == {"VOC", "COCO", "ADE20K", "CityScapes",
+                             "DeepScene", "Synthetic"}
