@@ -1,0 +1,61 @@
+"""Checkpoint / resume via orbax (reference base/base_trainer.py:138-173).
+
+Same state contents as the reference's torch.save dict: model weights
+(params + batch_stats), optimizer state, epoch, monitor_best, and the full
+config (provenance — resume trusts the checkpoint's config, reference
+train.py:55-57). Orbax gives atomic multi-host-safe writes, which is the
+preemption-recovery story on TPU (SURVEY.md §5.3).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import orbax.checkpoint as ocp
+
+_META = "meta.json"
+
+
+def save_checkpoint(directory: str, name: str, state, epoch: int,
+                    monitor_best: float, config: Dict, arch: str):
+    path = os.path.abspath(os.path.join(directory, name))
+    ckptr = ocp.StandardCheckpointer()
+    tree = {"params": state.params, "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state, "step": state.step}
+    ckptr.save(path, tree, force=True)
+    ckptr.wait_until_finished()
+    with open(os.path.join(path, _META), "w") as f:
+        json.dump({"epoch": epoch, "monitor_best": float(monitor_best),
+                   "config": config, "arch": arch}, f, indent=2, default=str)
+
+
+def load_checkpoint(path: str, state) -> Tuple[Any, Dict]:
+    """Restore into the structure of ``state``; returns (new_state, meta)."""
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    abstract = jax.tree_util.tree_map(
+        ocp.utils.to_shape_dtype_struct,
+        {"params": state.params, "batch_stats": state.batch_stats,
+         "opt_state": state.opt_state, "step": state.step})
+    restored = ckptr.restore(path, abstract)
+    new_state = state.replace(params=restored["params"],
+                              batch_stats=restored["batch_stats"],
+                              opt_state=restored["opt_state"],
+                              step=restored["step"])
+    meta_path = os.path.join(path, _META)
+    meta = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    return new_state, meta
+
+
+def load_config_from_checkpoint(path: str) -> Optional[Dict]:
+    meta_path = os.path.join(os.path.abspath(path), _META)
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            return json.load(f).get("config")
+    return None
