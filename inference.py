@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Inference CLI — same surface as the reference (inference.py:158-173):
+
+    python inference.py --config config.json --model <ckpt-dir> \
+        --images <dir> [--mode multiscale|sliding] [--output outputs] \
+        [--extension jpg]
+
+Loads an orbax checkpoint directory produced by train.py (the reference's
+.pth analog). The train-time loader is rebuilt only for MEAN/STD, palette and
+num_classes (reference inference.py:106-110).
+"""
+
+import argparse
+import json
+import os
+from glob import glob
+
+import numpy as np
+from PIL import Image
+from tqdm import tqdm
+
+
+def main():
+    args = parse_arguments()
+    with open(args.config) as f:
+        config = json.load(f)
+
+    import jax
+    import jax.numpy as jnp
+
+    from segtpu.checkpoint import load_checkpoint
+    from segtpu.core import create_train_state, make_optimizer
+    from segtpu.data import DATASETS
+    from segtpu.inference_lib import (make_predictor, multi_scale_predict,
+                                      sliding_predict)
+    from segtpu.models import MODELS
+    from segtpu.utils.helpers import colorize_mask
+
+    dataset_type = config["train_loader"]["type"]
+    scales = ([0.75, 1.0, 1.25, 1.5, 1.75, 2.0, 2.25]
+              if dataset_type == "CityScapes"
+              else [0.75, 1.0, 1.25, 1.5, 1.75, 2.0])
+    loader = DATASETS[dataset_type](**config["train_loader"]["args"])
+    mean = np.asarray(loader.MEAN, np.float32)
+    std = np.asarray(loader.STD, np.float32)
+    num_classes = loader.dataset.num_classes
+    palette = loader.dataset.palette
+
+    model = MODELS[config["arch"]["type"]](
+        num_classes=num_classes, **config["arch"]["args"])
+    tx = make_optimizer()
+    state = create_train_state(model, tx, jax.random.PRNGKey(0),
+                               jnp.zeros((1, 64, 64, 3), jnp.float32))
+    state, _ = load_checkpoint(args.model, state)
+    predict = make_predictor(model, state.params, state.batch_stats)
+
+    os.makedirs(args.output, exist_ok=True)
+    image_files = sorted(glob(os.path.join(args.images, f"*.{args.extension}")))
+    for img_file in tqdm(image_files, ncols=100):
+        image = Image.open(img_file).convert("RGB")
+        arr = (np.asarray(image, np.float32) / 255.0 - mean) / std
+
+        if args.mode == "multiscale":
+            logits = multi_scale_predict(predict, arr, scales, num_classes)
+        elif args.mode == "sliding":
+            logits = sliding_predict(predict, arr, num_classes)
+        else:
+            logits = np.asarray(predict(arr[None]))[0]
+        prediction = logits.argmax(-1).astype(np.uint8)
+
+        name = os.path.basename(img_file).split(".")[0]
+        colorize_mask(prediction, palette).save(
+            os.path.join(args.output, name + ".png"))
+
+
+def parse_arguments():
+    parser = argparse.ArgumentParser(description="Inference")
+    parser.add_argument("-c", "--config", default="config.json", type=str,
+                        help="The config used to train the model")
+    parser.add_argument("-mo", "--mode", default="multiscale", type=str,
+                        help="Prediction mode: [multiscale, sliding, simple]")
+    parser.add_argument("-m", "--model", default="best_model", type=str,
+                        help="Path to the checkpoint directory")
+    parser.add_argument("-i", "--images", default=None, type=str,
+                        help="Path to the images to be segmented")
+    parser.add_argument("-o", "--output", default="outputs", type=str,
+                        help="Output Path")
+    parser.add_argument("-e", "--extension", default="jpg", type=str,
+                        help="The extension of the images to be segmented")
+    return parser.parse_args()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,100 @@
+"""Multi-scale / sliding-window inference.
+
+Parity target: reference inference.py — multi_scale_predict (:61-79:
+scipy zoom per scale, bilinear align_corners=True upsample, optional
+flip-averaging, mean over scales) and sliding_predict (:26-58: tile =
+size/2.5, overlap 1/3, count-normalized logit accumulation).
+
+TPU-first reformulation of the sliding mode: every tile has the SAME static
+shape, so instead of the reference's one-tile-at-a-time loop (a host round
+trip per tile), all tiles are stacked into one batch and run in a single
+compiled forward — the MXU sees one big batch, and the canvas scatter-add
+happens once on host. Flip-averaging doubles the same batch rather than
+re-entering the model.
+"""
+
+from __future__ import annotations
+
+import functools
+from math import ceil
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy import ndimage
+
+from segtpu.ops.resize import resize_bilinear
+
+
+def make_predictor(model, params, batch_stats) -> Callable:
+    """Jitted (cached per input shape) eval-mode forward: NHWC -> logits."""
+
+    @jax.jit
+    def predict(x):
+        out = model.apply({"params": params, "batch_stats": batch_stats},
+                          x, train=False)
+        return out["out"].astype(jnp.float32)
+
+    return predict
+
+
+def multi_scale_predict(predict_fn: Callable, image: np.ndarray,
+                        scales: Sequence[float], num_classes: int,
+                        flip: bool = False) -> np.ndarray:
+    """``image`` is (H, W, C) normalized float32; returns (H, W, C_cls) logits
+    averaged over scales (reference inference.py:61-79)."""
+    h, w = image.shape[:2]
+    total = np.zeros((h, w, num_classes), np.float32)
+
+    for scale in scales:
+        scaled = ndimage.zoom(image, (float(scale), float(scale), 1.0),
+                              order=1, prefilter=False)
+        logits = predict_fn(scaled[None])
+        logits = resize_bilinear(logits, (h, w), align_corners=True)
+        if flip:
+            flipped = predict_fn(scaled[:, ::-1][None].copy())
+            flipped = resize_bilinear(flipped, (h, w), align_corners=True)
+            logits = 0.5 * (logits + flipped[:, :, ::-1])
+        total += np.asarray(logits[0])
+
+    return total / len(scales)
+
+
+def sliding_predict(predict_fn: Callable, image: np.ndarray, num_classes: int,
+                    flip: bool = True, tile_divisor: float = 2.5,
+                    overlap: float = 1 / 3) -> np.ndarray:
+    """Count-normalized overlapped tiling (reference inference.py:26-58),
+    with all tiles batched into one forward."""
+    h, w = image.shape[:2]
+    tile_h, tile_w = int(h // tile_divisor), int(w // tile_divisor)
+    stride = ceil(tile_h * (1 - overlap))
+    num_rows = int(ceil((h - tile_h) / stride) + 1)
+    num_cols = int(ceil((w - tile_w) / stride) + 1)
+
+    tiles, boxes = [], []
+    for row in range(num_rows):
+        for col in range(num_cols):
+            x0, y0 = int(col * stride), int(row * stride)
+            x1, y1 = min(x0 + tile_w, w), min(y0 + tile_h, h)
+            tile = image[y0:y1, x0:x1]
+            pad_h, pad_w = tile_h - tile.shape[0], tile_w - tile.shape[1]
+            if pad_h or pad_w:
+                tile = np.pad(tile, ((0, pad_h), (0, pad_w), (0, 0)))
+            tiles.append(tile)
+            boxes.append((y0, y1, x0, x1))
+
+    batch = np.stack(tiles)  # (T, th, tw, C)
+    if flip:
+        batch = np.concatenate([batch, batch[:, :, ::-1]], axis=0)
+    logits = np.asarray(predict_fn(batch))
+    if flip:
+        t = len(tiles)
+        logits = 0.5 * (logits[:t] + logits[t:][:, :, ::-1])
+
+    total = np.zeros((h, w, num_classes), np.float32)
+    count = np.zeros((h, w, 1), np.float32)
+    for (y0, y1, x0, x1), lg in zip(boxes, logits):
+        total[y0:y1, x0:x1] += lg[: y1 - y0, : x1 - x0]
+        count[y0:y1, x0:x1] += 1
+    return total / count
