@@ -146,6 +146,69 @@ def lovasz_softmax(logits, target, ignore_index=255, per_image=False):
     return one_image(logits, target)
 
 
+def lovasz_hinge(logits, target, ignore_index=255, per_image=True):
+    """Binary Lovász hinge (reference utils/lovasz_losses.py:78-109).
+
+    ``logits`` (..., H, W) real-valued, ``target`` binary {0,1} with an
+    ignore sentinel. The reference's boolean-index filtering becomes a
+    validity mask carried through the sort (invalid pixels get error -inf so
+    they sort last and contribute zero).
+    """
+
+    def one_image(lg, tg):
+        lg = lg.reshape(-1).astype(jnp.float32)
+        tg = tg.reshape(-1)
+        valid = (tg != ignore_index).astype(jnp.float32)
+        tgf = jnp.where(valid > 0, tg, 0).astype(jnp.float32)
+        signs = 2.0 * tgf - 1.0
+        errors = (1.0 - lg * signs)
+        errors = jnp.where(valid > 0, errors, -jnp.inf)
+        neg_sorted, fg_sorted, valid_sorted = jax.lax.sort(
+            (-errors, tgf * valid, valid), dimension=0, num_keys=1)
+        errors_sorted = -neg_sorted
+        gts = jnp.sum(fg_sorted)
+        intersection = gts - jnp.cumsum(fg_sorted)
+        union = gts + jnp.cumsum((1.0 - fg_sorted) * valid_sorted)
+        jaccard = 1.0 - intersection / jnp.maximum(union, 1e-12)
+        grad = jnp.concatenate([jaccard[:1], jaccard[1:] - jaccard[:-1]])
+        relu_err = jnp.maximum(jnp.where(valid_sorted > 0, errors_sorted, 0.0),
+                               0.0)
+        return jnp.sum(relu_err * grad * valid_sorted)
+
+    if per_image:
+        return jnp.mean(jax.vmap(one_image)(logits, target))
+    return one_image(logits, target)
+
+
+def binary_xloss(logits, target, ignore_index=255):
+    """Numerically-stable binary cross-entropy over non-ignored pixels
+    (reference utils/lovasz_losses.py:128-150 StableBCELoss/binary_xloss)."""
+    lg = logits.reshape(-1).astype(jnp.float32)
+    tg = target.reshape(-1)
+    valid = (tg != ignore_index).astype(jnp.float32)
+    tgf = jnp.where(valid > 0, tg, 0).astype(jnp.float32)
+    neg_abs = -jnp.abs(lg)
+    loss = (jnp.maximum(lg, 0.0) - lg * tgf + jnp.log1p(jnp.exp(neg_abs)))
+    return jnp.sum(loss * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+
+
+def get_weights(target, num_classes: int):
+    """Median-frequency class weights from a label batch (host-side numpy).
+
+    Parity: reference utils/losses.py:13-22, generalized — upstream hardcodes
+    7 classes (DeepScene), a documented defect (SURVEY.md §7).
+    """
+    import numpy as np
+
+    t = np.asarray(target).reshape(-1)
+    t = t[(t >= 0) & (t < num_classes)]
+    classes, counts = np.unique(t, return_counts=True)
+    cls_w = np.median(counts) / counts
+    weights = np.ones(num_classes, np.float32)
+    weights[classes] = cls_w
+    return weights
+
+
 # ---------------------------------------------------------------------------
 # Registry — mirrors the names accepted by the reference's config["loss"]
 # (reference train.py:30, README.md "Losses" section).

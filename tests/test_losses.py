@@ -127,3 +127,57 @@ def test_registry_names():
     for name in ["CrossEntropyLoss2d", "DiceLoss", "FocalLoss", "CE_DiceLoss",
                  "LovaszSoftmax"]:
         assert callable(losses.get_loss(name))
+
+
+def _np_lovasz_hinge_flat(logits, labels):
+    """Reference lovasz_hinge_flat in numpy (utils/lovasz_losses.py:94-109)."""
+    if len(labels) == 0:
+        return 0.0
+    signs = 2.0 * labels - 1.0
+    errors = 1.0 - logits * signs
+    order = np.argsort(-errors, kind="stable")
+    errors_sorted = errors[order]
+    gt_sorted = labels[order]
+    gts = gt_sorted.sum()
+    intersection = gts - np.cumsum(gt_sorted)
+    union = gts + np.cumsum(1.0 - gt_sorted)
+    jaccard = 1.0 - intersection / union
+    if len(jaccard) > 1:
+        jaccard[1:] = jaccard[1:] - jaccard[:-1]
+    return float(np.maximum(errors_sorted, 0.0) @ jaccard)
+
+
+def test_lovasz_hinge_matches_reference(rng):
+    b, h, w = 3, 6, 6
+    logits = rng.standard_normal((b, h, w)).astype(np.float32) * 2
+    labels = rng.integers(0, 2, size=(b, h, w)).astype(np.int32)
+    labels[rng.random((b, h, w)) < 0.2] = 255
+
+    expected = np.mean([
+        _np_lovasz_hinge_flat(
+            logits[i].reshape(-1)[labels[i].reshape(-1) != 255],
+            labels[i].reshape(-1)[labels[i].reshape(-1) != 255].astype(np.float64))
+        for i in range(b)])
+    got = float(losses.lovasz_hinge(jnp.asarray(logits), jnp.asarray(labels)))
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
+
+
+def test_binary_xloss_matches_bce(rng):
+    logits = rng.standard_normal((2, 8, 8)).astype(np.float32)
+    labels = rng.integers(0, 2, size=(2, 8, 8)).astype(np.int32)
+    labels[rng.random((2, 8, 8)) < 0.2] = 255
+    valid = labels != 255
+    expected = F.binary_cross_entropy_with_logits(
+        torch.from_numpy(logits[valid]),
+        torch.from_numpy(labels[valid].astype(np.float32))).item()
+    got = float(losses.binary_xloss(jnp.asarray(logits), jnp.asarray(labels)))
+    np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-6)
+
+
+def test_get_weights_median_frequency():
+    target = np.array([0] * 10 + [1] * 5 + [2] * 1 + [255] * 3)
+    w = losses.get_weights(target, num_classes=4)
+    counts = np.array([10, 5, 1])
+    med = np.median(counts)
+    np.testing.assert_allclose(w[:3], med / counts, rtol=1e-6)
+    assert w[3] == 1.0  # absent class keeps weight 1 (reference :20-21)
