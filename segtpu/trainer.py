@@ -118,6 +118,13 @@ class Trainer:
                                       config.get("name", "run"), start_time)
             self.writer = SummaryWriter(writer_dir)
 
+        # Optional profiling: trace the first N steps of the first epoch into
+        # <save_dir>/profile (viewable with tensorboard / xprof). The
+        # reference's only perf instrumentation is wall-clock meters
+        # (reference trainer.py:50,75-76); this adds the real thing.
+        self.profile_steps = cfg_trainer.get("profile", 0)
+        self._profile_dir = os.path.join(self.checkpoint_dir, "profile")
+
         self.wrt_step = 0
         if resume:
             self._resume_checkpoint(resume)
@@ -175,8 +182,15 @@ class Trainer:
 
         prefetcher = DevicePrefetcher(self.train_loader, self.mesh)
         iters_per_epoch = len(self.train_loader)
+        profiling = self.profile_steps > 0 and epoch == self.start_epoch
+        if profiling:
+            jax.profiler.start_trace(self._profile_dir)
         for it, (images, labels) in enumerate(prefetcher):
             data_time.update(time.time() - tic)
+            if profiling and it == self.profile_steps:
+                jax.block_until_ready(self.state.params)
+                jax.profiler.stop_trace()
+                profiling = False
             self.state, loss, stats = self.train_step(self.state, images,
                                                       labels, self.rng)
             total_stats = total_stats + stats
@@ -192,6 +206,9 @@ class Trainer:
                     self.writer.add_scalar("train/loss", loss_val, self.wrt_step)
             batch_time.update(time.time() - tic)
             tic = time.time()
+        if profiling:
+            jax.block_until_ready(self.state.params)
+            jax.profiler.stop_trace()
 
         seg = metrics_lib.summarize(total_stats)
         avg_loss = float(loss_acc) / max(n_iters, 1)
