@@ -1,0 +1,33 @@
+import time, numpy as np
+import jax, jax.numpy as jnp
+from segtpu.core import create_train_state, make_mesh, make_optimizer, make_train_step, shard_batch
+from segtpu.losses import cross_entropy
+from segtpu.models import get_model
+
+CROP=769
+mesh = make_mesh()
+model = get_model("PSPNet", num_classes=19, backbone="resnet50", use_aux=True)
+tx = make_optimizer(lr=0.01, num_epochs=100, iters_per_epoch=1000)
+rng=np.random.default_rng(0)
+
+def bench(B):
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), jnp.zeros((1,CROP,CROP,3), jnp.float32))
+    step = make_train_step(model, cross_entropy, 19, mesh=mesh)
+    im, lb = shard_batch(mesh, (rng.normal(size=(B,CROP,CROP,3)).astype(np.float32), rng.integers(0,19,size=(B,CROP,CROP)).astype(np.int32)))
+    key=jax.random.PRNGKey(1)
+    try:
+        for _ in range(3):
+            state, loss, _ = step(state, im, lb, key)
+        float(loss)
+        N=10
+        t0=time.perf_counter()
+        for _ in range(N):
+            state, loss, _ = step(state, im, lb, key)
+        float(loss)
+        dt=time.perf_counter()-t0
+        print(f"B={B}: {B*N/dt:.2f} img/s ({dt/N*1000:.0f} ms/step)", flush=True)
+    except Exception as e:
+        print(f"B={B}: FAILED {type(e).__name__}: {str(e)[:120]}", flush=True)
+
+bench(8)
+bench(16)

@@ -1,41 +1,24 @@
-import time, numpy as np
+import time, glob, numpy as np
 import jax, jax.numpy as jnp
 from segtpu.core import create_train_state, make_mesh, make_optimizer, make_train_step, shard_batch
 from segtpu.losses import cross_entropy
 from segtpu.models import get_model
 
-CROP=769
+CROP=769; B=8
 mesh = make_mesh()
 model = get_model("PSPNet", num_classes=19, backbone="resnet50", use_aux=True)
 tx = make_optimizer(lr=0.01, num_epochs=100, iters_per_epoch=1000)
-rng=np.random.default_rng(0)
-
-B=8
 state = create_train_state(model, tx, jax.random.PRNGKey(0), jnp.zeros((1,CROP,CROP,3), jnp.float32))
 step = make_train_step(model, cross_entropy, 19, mesh=mesh)
+rng=np.random.default_rng(0)
 im, lb = shard_batch(mesh, (rng.normal(size=(B,CROP,CROP,3)).astype(np.float32), rng.integers(0,19,size=(B,CROP,CROP)).astype(np.int32)))
 key=jax.random.PRNGKey(1)
-
-lowered = step.lower(state, im, lb, key)
-compiled = lowered.compile()
-ca = compiled.cost_analysis()
-if isinstance(ca, list): ca = ca[0]
-flops = ca.get("flops", 0)
-bytes_acc = ca.get("bytes accessed", 0)
-print(f"XLA cost: {flops/1e12:.3f} TFLOPs/step, {bytes_acc/1e9:.2f} GB accessed/step")
-mem = compiled.memory_analysis()
-try:
-    print("temp alloc:", mem.temp_size_in_bytes/1e9, "GB; args:", mem.argument_size_in_bytes/1e9, "GB")
-except Exception as e:
-    print("mem analysis:", mem)
-
 for _ in range(3):
     state, loss, _ = step(state, im, lb, key)
 float(loss)
-N=8
-t0=time.perf_counter()
-for _ in range(N):
+jax.profiler.start_trace("/tmp/jaxtrace")
+for _ in range(3):
     state, loss, _ = step(state, im, lb, key)
 float(loss)
-dt=time.perf_counter()-t0
-print(f"bs={B}: {B*N/dt:.2f} img/s ({dt/N*1000:.0f} ms/step) -> {flops*N/dt/1e12:.1f} TFLOP/s eff")
+jax.profiler.stop_trace()
+print("trace files:", glob.glob("/tmp/jaxtrace/**/*.xplane.pb", recursive=True))

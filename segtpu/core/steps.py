@@ -35,30 +35,43 @@ def make_train_step(
     aux_weight: float = 0.4,
     compute_dtype=jnp.bfloat16,
     mesh=None,
+    remat: bool = False,
 ):
     """Returns step(state, images, labels, rng) -> (state, loss, SegStats).
 
     ``loss_fn(logits, labels, ignore_index)`` — any of segtpu.losses.
     Aux-head models contribute ``loss + aux_weight * loss_aux``
     (reference trainer.py:57-66).
+
+    ``remat=True`` wraps the forward in ``jax.checkpoint``: the backward pass
+    recomputes activations instead of keeping them live, trading ~1/3 more
+    FLOPs for roughly half the peak HBM — enables ~2x batch at 769^2 crops.
+    Logits stay in ``compute_dtype`` end-to-end; the losses upcast to float32
+    inside their reductions (fused by XLA), avoiding a materialized
+    full-resolution float32 copy.
     """
 
     def step(state, images, labels, rng):
         dropout_rng = jax.random.fold_in(rng, state.step)
 
-        def compute_loss(params):
-            outputs, mutated = model.apply(
+        def forward(params):
+            return model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 images.astype(compute_dtype),
                 train=True,
                 rngs={"dropout": dropout_rng},
                 mutable=["batch_stats"],
             )
-            logits = outputs["out"].astype(jnp.float32)
+
+        if remat:
+            forward = jax.checkpoint(forward)
+
+        def compute_loss(params):
+            outputs, mutated = forward(params)
+            logits = outputs["out"]
             loss = loss_fn(logits, labels, ignore_index=ignore_index)
             if "aux" in outputs:
-                aux = outputs["aux"].astype(jnp.float32)
-                loss = loss + aux_weight * loss_fn(aux, labels,
+                loss = loss + aux_weight * loss_fn(outputs["aux"], labels,
                                                    ignore_index=ignore_index)
             return loss, (logits, mutated)
 
@@ -99,7 +112,7 @@ def make_eval_step(
             images.astype(compute_dtype),
             train=False,
         )
-        logits = outputs["out"].astype(jnp.float32)
+        logits = outputs["out"]
         loss = loss_fn(logits, labels, ignore_index=ignore_index)
         preds = jnp.argmax(logits, axis=-1)
         stats = seg_stats(preds, labels, num_classes)

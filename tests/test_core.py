@@ -131,9 +131,12 @@ def test_differential_lr_scales_backbone_updates():
     # check the RATIO of update magnitude to gradient magnitude per group
     # using the train-mode graph at p0:
     def loss_train(params, bs):
+        # the step derives its dropout key as fold_in(rng, state.step) with
+        # step=0 — use the identical key so gradients match exactly
         out, _ = model.apply({"params": params, "batch_stats": bs},
                              jnp.asarray(imgs), train=True,
-                             rngs={"dropout": jax.random.PRNGKey(0)},
+                             rngs={"dropout": jax.random.fold_in(
+                                 jax.random.PRNGKey(0), 0)},
                              mutable=["batch_stats"])
         o = out["out"].astype(jnp.float32)
         return cross_entropy(o, jnp.asarray(labels))
@@ -172,3 +175,29 @@ def test_eval_step():
     assert np.isfinite(float(loss))
     m = summarize(stats)
     assert 0.0 <= m["Mean_IoU"] <= 1.0
+
+
+def test_remat_matches_no_remat():
+    """jax.checkpoint must not change the math — only the memory schedule."""
+    model = _small_unet()
+    tx = make_optimizer(lr=0.01, num_epochs=1, iters_per_epoch=10)
+    rng = np.random.default_rng(7)
+    imgs, labels = _toy_batch(rng, b=2, hw=32)
+    key = jax.random.PRNGKey(3)
+
+    def run(remat):
+        state = create_train_state(model, tx, jax.random.PRNGKey(0),
+                                   jnp.zeros((1, 32, 32, 3)))
+        step = make_train_step(model, cross_entropy, NC, remat=remat,
+                               compute_dtype=jnp.float32)
+        state, loss, stats = step(state, jnp.asarray(imgs),
+                                  jnp.asarray(labels), key)
+        return float(loss), jax.tree_util.tree_map(np.asarray, state.params)
+
+    l1, p1 = run(False)
+    l2, p2 = run(True)
+    assert abs(l1 - l2) < 1e-6
+    import flax.traverse_util as tu
+    f1, f2 = tu.flatten_dict(p1), tu.flatten_dict(p2)
+    for k in f1:
+        np.testing.assert_allclose(f1[k], f2[k], rtol=1e-5, atol=1e-6)
