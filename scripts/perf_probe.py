@@ -1,3 +1,4 @@
+import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time, numpy as np
 import jax, jax.numpy as jnp
 from segtpu.core import create_train_state, make_mesh, make_optimizer, make_train_step, shard_batch

@@ -47,7 +47,10 @@ class Trainer:
         self.train_loader = train_loader
         self.val_loader = val_loader
         self.train_logger = train_logger
-        self.logger = logging.getLogger(type(self).__name__)
+        from segtpu.utils.logger import setup_logging
+
+        setup_logging()
+        self.logger = logging.getLogger(f"segtpu.{type(self).__name__}")
         self.mesh = mesh if mesh is not None else make_mesh()
         self.num_classes = train_loader.dataset.num_classes
         self.ignore_index = config.get("ignore_index", 255)

@@ -5,8 +5,23 @@ from __future__ import annotations
 import json
 import logging
 
-logging.basicConfig(level=logging.INFO,
-                    format="%(asctime)s %(name)s %(levelname)s: %(message)s")
+
+def setup_logging(level=logging.INFO) -> logging.Logger:
+    """Configure the 'segtpu' logger explicitly. ``logging.basicConfig`` is
+    NOT enough here: jax/absl attach a root handler at import time, which
+    turns basicConfig into a no-op and silently drops INFO logs."""
+    logger = logging.getLogger("segtpu")
+    if not logger.handlers:
+        handler = logging.StreamHandler()
+        handler.setFormatter(logging.Formatter(
+            "%(asctime)s %(name)s %(levelname)s: %(message)s"))
+        logger.addHandler(handler)
+    logger.setLevel(level)
+    logger.propagate = False
+    return logger
+
+
+setup_logging()
 
 
 class Logger:

@@ -19,6 +19,10 @@ import os
 def get_instance(module_registry, name, config, *args, **extra):
     """Registry-based instantiation (reference train.py:14-16)."""
     cfg = config[name]
+    if cfg["type"] not in module_registry:
+        raise KeyError(
+            f"unknown {name} type {cfg['type']!r}; available: "
+            f"{sorted(module_registry)}")
     return module_registry[cfg["type"]](*args, **{**cfg["args"], **extra})
 
 
@@ -41,7 +45,7 @@ def main(config, resume):
     # MODEL
     model = get_instance(model_zoo.MODELS, "arch", config,
                          num_classes=train_loader.dataset.num_classes)
-    logging.getLogger("train").info(f"model: {type(model).__name__}")
+    logging.getLogger("segtpu.train").info(f"model: {type(model).__name__}")
 
     trainer = Trainer(
         model=model,
