@@ -35,8 +35,17 @@ def make_mesh(devices: Optional[Sequence] = None, model_parallel: int = 1) -> Me
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 
-def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Batch-dim sharding over the data axis (NHWC batches, integer labels)."""
+def batch_sharding(mesh: Mesh, spatial: bool = False) -> NamedSharding:
+    """Batch-dim sharding over the data axis (NHWC batches, integer labels).
+
+    ``spatial=True`` additionally shards the H dimension over the ``model``
+    axis — GSPMD spatial partitioning. XLA inserts the halo exchanges that
+    overlapping convolution windows need, which is the TPU-native analog of
+    the reference's host-side spatial tiling (SURVEY.md §5.7): one logical
+    image larger than a single chip's HBM trains/evals across the mesh.
+    """
+    if spatial:
+        return NamedSharding(mesh, P(DATA_AXIS, MODEL_AXIS))
     return NamedSharding(mesh, P(DATA_AXIS))
 
 

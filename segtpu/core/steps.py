@@ -36,8 +36,13 @@ def make_train_step(
     compute_dtype=jnp.bfloat16,
     mesh=None,
     remat: bool = False,
+    spatial: bool = False,
 ):
     """Returns step(state, images, labels, rng) -> (state, loss, SegStats).
+
+    ``spatial=True`` shards the image H dimension over the mesh ``model``
+    axis in addition to batch-over-``data`` (GSPMD spatial partitioning with
+    automatic halo exchange) — see segtpu.core.mesh.batch_sharding.
 
     ``loss_fn(logits, labels, ignore_index)`` — any of segtpu.losses.
     Aux-head models contribute ``loss + aux_weight * loss_aux``
@@ -85,7 +90,7 @@ def make_train_step(
 
     if mesh is None:
         return jax.jit(step, donate_argnums=(0,))
-    bs = batch_sharding(mesh)
+    bs = batch_sharding(mesh, spatial=spatial)
     rep = replicated_sharding(mesh)
     return jax.jit(
         step,
@@ -103,6 +108,7 @@ def make_eval_step(
     compute_dtype=jnp.bfloat16,
     mesh=None,
     return_logits: bool = False,
+    spatial: bool = False,
 ):
     """Returns step(state, images, labels) -> (loss, SegStats[, logits])."""
 
@@ -122,7 +128,7 @@ def make_eval_step(
 
     if mesh is None:
         return jax.jit(step)
-    bs = batch_sharding(mesh)
+    bs = batch_sharding(mesh, spatial=spatial)
     rep = replicated_sharding(mesh)
     out_sh = (rep, rep, bs) if return_logits else (rep, rep)
     return jax.jit(step, in_shardings=(rep, bs, bs),

@@ -201,3 +201,33 @@ def test_remat_matches_no_remat():
     f1, f2 = tu.flatten_dict(p1), tu.flatten_dict(p2)
     for k in f1:
         np.testing.assert_allclose(f1[k], f2[k], rtol=1e-5, atol=1e-6)
+
+
+def test_spatial_partitioning_matches_unsharded():
+    """H sharded over the model axis (GSPMD spatial partitioning with halo
+    exchange) must reproduce the unsharded result — the TPU-native analog of
+    the reference's spatial tiling (SURVEY.md §5.7)."""
+    model = _small_unet()
+    mesh = make_mesh(model_parallel=4)  # 2 data x 4 model
+    tx = make_optimizer(lr=0.01, num_epochs=1, iters_per_epoch=10)
+    rng = np.random.default_rng(11)
+    imgs, labels = _toy_batch(rng, b=2, hw=64)
+    key = jax.random.PRNGKey(5)
+
+    def run(mesh_arg, spatial):
+        state = create_train_state(model, tx, jax.random.PRNGKey(0),
+                                   jnp.zeros((1, 64, 64, 3)))
+        step = make_train_step(model, cross_entropy, NC, mesh=mesh_arg,
+                               spatial=spatial, compute_dtype=jnp.float32)
+        b = (jnp.asarray(imgs), jnp.asarray(labels))
+        if mesh_arg is not None:
+            from segtpu.core.mesh import batch_sharding
+            sh = batch_sharding(mesh_arg, spatial=spatial)
+            b = tuple(jax.device_put(x, sh) for x in b)
+        state, loss, stats = step(state, b[0], b[1], key)
+        return float(loss), np.asarray(stats.inter)
+
+    loss_sp, inter_sp = run(mesh, True)
+    loss_ref, inter_ref = run(None, False)
+    assert abs(loss_sp - loss_ref) < 1e-4, (loss_sp, loss_ref)
+    np.testing.assert_allclose(inter_sp, inter_ref, rtol=1e-4, atol=1)
