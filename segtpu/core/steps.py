@@ -17,8 +17,7 @@ accumulation. Differences by design:
 
 from __future__ import annotations
 
-import functools
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

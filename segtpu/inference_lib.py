@@ -15,7 +15,6 @@ re-entering the model.
 
 from __future__ import annotations
 
-import functools
 from math import ceil
 from typing import Callable, Sequence
 

@@ -14,7 +14,6 @@ import jax.numpy as jnp
 from segtpu.backbones.resnet import ResNetFeatures
 from segtpu.nn.blocks import ASPP, DUC
 from segtpu.nn.layers import BatchNorm, Conv, kaiming_normal_init
-from segtpu.ops.resize import resize_bilinear
 
 
 def _zero_bias(key, shape, dtype=jnp.float32):

@@ -17,7 +17,7 @@ from typing import Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from segtpu.backbones.vgg import VGG16BNEncoderWithIndices, VGG16_STAGES
+from segtpu.backbones.vgg import VGG16BNEncoderWithIndices
 from segtpu.nn.layers import BatchNorm, Conv, ConvTranspose, kaiming_normal_init
 from segtpu.ops.pooling import max_pool_argmax, max_unpool
 

@@ -11,8 +11,6 @@ check here (shapes are known at trace time).
 
 from __future__ import annotations
 
-from typing import Any
-
 import flax.linen as nn
 import jax.numpy as jnp
 

@@ -6,8 +6,7 @@ interpolation / adaptive pooling route through segtpu.ops (MXU matmuls).
 
 from __future__ import annotations
 
-import math
-from typing import Callable, Optional, Sequence, Tuple
+from typing import Callable, Optional, Sequence
 
 import flax.linen as nn
 import jax

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import math
 import random as _random
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import cv2
 import numpy as np
