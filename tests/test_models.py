@@ -84,3 +84,36 @@ def test_unet_jit_and_grad():
     leaves = jax.tree_util.tree_leaves(g)
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
     assert any(np.abs(np.asarray(l)).sum() > 0 for l in leaves)
+
+
+@pytest.mark.parametrize("name,kwargs", [
+    ("FCN8", {}),                      # fixed bilinear upsamplers + crops
+    ("ENet", {}),                      # max-unpool identities, PReLU
+    ("SegNet", {}),                    # unpooling decoder
+    ("SegResNet", {}),                 # stem-unpool + transpose-conv decoder
+    ("GCN", {"backbone": "resnet50", "use_deconv": True}),
+    ("DeepLab_DUC_HDC", {"backbone": "resnet50"}),  # pixel-shuffle heads
+])
+def test_model_backward_pass(name, kwargs):
+    """Every exotic decoder op must be differentiable end to end."""
+    model = get_model(name, num_classes=NUM_CLASSES, **kwargs)
+    x = jnp.ones((1, 64, 64, 3), jnp.float32) * 0.1
+    y = jnp.zeros((1, 64, 64), jnp.int32)
+    key = jax.random.PRNGKey(0)
+    variables = model.init({"params": key, "dropout": key}, x, train=False)
+
+    def loss_fn(params):
+        out, _ = model.apply(
+            {"params": params, **{k: v for k, v in variables.items()
+                                  if k != "params"}},
+            x, train=True, rngs={"dropout": key},
+            mutable=[k for k in variables if k != "params"])
+        logits = out["out"].astype(jnp.float32)
+        logp = jax.nn.log_softmax(logits)
+        return -jnp.mean(jnp.take_along_axis(logp, y[..., None], axis=-1))
+
+    grads = jax.grad(loss_fn)(variables["params"])
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    total = sum(float(np.abs(np.asarray(l)).sum()) for l in leaves)
+    assert total > 0
