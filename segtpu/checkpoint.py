@@ -53,6 +53,37 @@ def load_checkpoint(path: str, state) -> Tuple[Any, Dict]:
     return new_state, meta
 
 
+def load_pretrained_backbone(state, path: str):
+    """Merge a converted backbone checkpoint (scripts/convert_weights.py)
+    into a TrainState: its params/batch_stats replace the model's
+    ``backbone`` scope. Replaces the reference's in-constructor pretrained
+    loads (e.g. models/resnet.py:239-306). Tree structure and every leaf
+    shape must match the model's backbone exactly."""
+    import jax.numpy as jnp
+    import numpy as np
+    import orbax.checkpoint as ocp
+
+    restored = ocp.StandardCheckpointer().restore(os.path.abspath(path))
+    bb_params, bb_stats = restored["params"], restored["batch_stats"]
+
+    def checked(old, new):
+        if np.shape(old) != np.shape(new):
+            raise ValueError(
+                f"backbone shape mismatch: {np.shape(old)} vs {np.shape(new)}")
+        return jnp.asarray(new)
+
+    if "backbone" not in state.params:
+        raise KeyError("model has no 'backbone' scope to load into")
+    new_params = dict(state.params)
+    new_params["backbone"] = jax.tree_util.tree_map(
+        checked, new_params["backbone"], bb_params)
+    new_stats = dict(state.batch_stats)
+    if bb_stats and "backbone" in new_stats:
+        new_stats["backbone"] = jax.tree_util.tree_map(
+            checked, new_stats["backbone"], bb_stats)
+    return state.replace(params=new_params, batch_stats=new_stats)
+
+
 def load_config_from_checkpoint(path: str) -> Optional[Dict]:
     meta_path = os.path.join(os.path.abspath(path), _META)
     if os.path.exists(meta_path):

@@ -103,6 +103,13 @@ def summarize(stats: SegStats) -> Dict[str, np.ndarray]:
     }
 
 
+def eval_metrics(logits, target, num_classes: int) -> SegStats:
+    """API-parity alias (reference utils/metrics.py:59-67 returns the
+    [correct, labeled, inter, union] 4-tuple; here the same quantities as a
+    SegStats, device-resident)."""
+    return seg_stats(jnp.argmax(logits, axis=-1), target, num_classes)
+
+
 class AverageMeter:
     """Weighted streaming mean (reference utils/metrics.py:6-40)."""
 

@@ -188,6 +188,13 @@ class Trainer:
         profiling = self.profile_steps > 0 and epoch == self.start_epoch
         if profiling:
             jax.profiler.start_trace(self._profile_dir)
+        bar = None
+        if self.config["trainer"].get("progress_bar", True):
+            from tqdm import tqdm
+
+            prefetcher = tqdm(prefetcher, total=iters_per_epoch, ncols=100,
+                              desc=f"epoch {epoch}")
+            bar = prefetcher
         for it, (images, labels) in enumerate(prefetcher):
             data_time.update(time.time() - tic)
             if profiling and it == self.profile_steps:
@@ -207,6 +214,11 @@ class Trainer:
                 self.wrt_step = (epoch - 1) * iters_per_epoch + it + 1
                 if self.writer is not None:
                     self.writer.add_scalar("train/loss", loss_val, self.wrt_step)
+                if bar is not None:
+                    # reference-style live bar text (trainer.py:89-92)
+                    bar.set_description(
+                        f"epoch {epoch} | loss {loss_val:.3f} | "
+                        f"B {batch_time.average:.2f} D {data_time.average:.2f}")
             batch_time.update(time.time() - tic)
             tic = time.time()
         if profiling:

@@ -188,3 +188,38 @@ def test_fcn_classifier_conversion_shapes():
     out = wc.convert_vgg16_classifier(sd)
     assert out["backbone_conv6"]["kernel"].shape == (7, 7, 512, 4096)
     assert out["backbone_conv7"]["kernel"].shape == (1, 1, 4096, 4096)
+
+
+def test_load_pretrained_backbone_roundtrip(tmp_path):
+    """convert -> save -> load into a PSPNet state."""
+    import orbax.checkpoint as ocp
+
+    from segtpu.checkpoint import load_pretrained_backbone
+    from segtpu.core import create_train_state, make_optimizer
+    from segtpu.models import get_model
+
+    model = get_model("PSPNet", num_classes=5, backbone="resnet18",
+                      use_aux=False)
+    tx = make_optimizer(lr=0.01, num_epochs=1, iters_per_epoch=1)
+    state = create_train_state(model, tx, jax.random.PRNGKey(0),
+                               jnp.zeros((1, 32, 32, 3)))
+
+    # fabricate a "pretrained" backbone: the model's own backbone scaled 2x
+    bb_p = jax.tree_util.tree_map(lambda a: np.asarray(a) * 2.0,
+                                  state.params["backbone"])
+    bb_s = jax.tree_util.tree_map(np.asarray, state.batch_stats["backbone"])
+    path = str(tmp_path / "bb")
+    ck = ocp.StandardCheckpointer()
+    ck.save(path, {"params": bb_p, "batch_stats": bb_s}, force=True)
+    ck.wait_until_finished()
+
+    new_state = load_pretrained_backbone(state, path)
+    a = tu.flatten_dict(jax.tree_util.tree_map(np.asarray,
+                                               new_state.params["backbone"]))
+    b = tu.flatten_dict(bb_p)
+    for k in b:
+        np.testing.assert_array_equal(a[k], b[k])
+    # decoder untouched
+    np.testing.assert_array_equal(
+        np.asarray(new_state.params["classifier"]["kernel"]),
+        np.asarray(state.params["classifier"]["kernel"]))
