@@ -117,3 +117,16 @@ def test_model_backward_pass(name, kwargs):
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
     total = sum(float(np.abs(np.asarray(l)).sum()) for l in leaves)
     assert total > 0
+
+
+def test_in_channels_4():
+    """Non-RGB inputs (the reference swaps its first conv,
+    e.g. models/unet.py:132-134); stems here infer width from the input."""
+    for name in ("UNet", "PSPNet"):
+        kwargs = {"backbone": "resnet18"} if name == "PSPNet" else {}
+        model = get_model(name, num_classes=4, in_channels=4, **kwargs)
+        x = jnp.zeros((1, 64, 64, 4), jnp.float32)
+        key = jax.random.PRNGKey(0)
+        variables = model.init({"params": key, "dropout": key}, x, train=False)
+        out = model.apply(variables, x, train=False)
+        assert out["out"].shape == (1, 64, 64, 4)
