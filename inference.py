@@ -28,8 +28,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from segtpu.checkpoint import load_checkpoint
-    from segtpu.core import create_train_state, make_optimizer
+    from segtpu.checkpoint import load_model_weights
     from segtpu.data import DATASETS
     from segtpu.inference_lib import (make_predictor, multi_scale_predict,
                                       sliding_predict)
@@ -48,11 +47,12 @@ def main():
 
     model = MODELS[config["arch"]["type"]](
         num_classes=num_classes, **config["arch"]["args"])
-    tx = make_optimizer()
-    state = create_train_state(model, tx, jax.random.PRNGKey(0),
-                               jnp.zeros((1, 64, 64, 3), jnp.float32))
-    state, _ = load_checkpoint(args.model, state)
-    predict = make_predictor(model, state.params, state.batch_stats)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(0)},
+        jnp.zeros((1, 64, 64, len(mean)), jnp.float32), train=False)
+    params, batch_stats = load_model_weights(
+        args.model, variables["params"], variables.get("batch_stats", {}))
+    predict = make_predictor(model, params, batch_stats)
 
     os.makedirs(args.output, exist_ok=True)
     image_files = sorted(glob(os.path.join(args.images, f"*.{args.extension}")))

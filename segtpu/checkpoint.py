@@ -53,6 +53,23 @@ def load_checkpoint(path: str, state) -> Tuple[Any, Dict]:
     return new_state, meta
 
 
+def load_model_weights(path: str, params, batch_stats):
+    """Restore ONLY the model weights (params + batch_stats) from a full
+    training checkpoint — the inference path. A full-state restore would
+    require reconstructing the exact optimizer pytree the checkpoint was
+    trained with (Adam vs SGD vs OneCycle's inject_hyperparams all differ
+    structurally); inference doesn't need any of it."""
+    path = os.path.abspath(path)
+    abstract = jax.tree_util.tree_map(
+        ocp.utils.to_shape_dtype_struct,
+        {"params": params, "batch_stats": batch_stats})
+    with ocp.PyTreeCheckpointer() as ckptr:
+        restored = ckptr.restore(
+            path, args=ocp.args.PyTreeRestore(item=abstract,
+                                              partial_restore=True))
+    return restored["params"], restored["batch_stats"]
+
+
 def load_pretrained_backbone(state, path: str):
     """Merge a converted backbone checkpoint (scripts/convert_weights.py)
     into a TrainState: its params/batch_stats replace the model's

@@ -208,8 +208,12 @@ class DataLoader:
     def get_val_loader(self) -> Optional["DataLoader"]:
         if getattr(self, "_val_indices", None) is None or self.val_split == 0:
             return None
+        # the underlying dataset is the TRAIN dataset (val=False), so
+        # drop_last must be forced off here or small val splits would yield
+        # zero batches; the ragged tail is padded (masked via ignore labels)
         return DataLoader(self.dataset, self.batch_size, False,
-                          self.num_workers, indices=self._val_indices)
+                          self.num_workers, indices=self._val_indices,
+                          drop_last=False)
 
     def __len__(self):
         n = len(self.indices)

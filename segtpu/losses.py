@@ -46,8 +46,9 @@ def _per_pixel_ce(logits: jnp.ndarray, target: jnp.ndarray, valid: jnp.ndarray,
     ce = (logz - picked) * valid
     if weight is not None:
         wvec = jnp.asarray(weight, jnp.float32)
-        w = jnp.sum(onehot * wvec, axis=-1) * valid
-        ce = ce * jnp.sum(onehot * wvec, axis=-1)
+        w_pick = jnp.sum(onehot * wvec, axis=-1)
+        ce = ce * w_pick
+        w = w_pick * valid
     else:
         w = valid
     return ce, w

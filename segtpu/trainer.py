@@ -82,7 +82,8 @@ class Trainer:
             **opt_cfg.get("args", {}),
         )
         crop = train_loader.dataset.crop_size or 321
-        sample = jnp.zeros((1, crop, crop, 3), jnp.float32)
+        in_channels = len(train_loader.dataset.mean)  # 3 for RGB datasets
+        sample = jnp.zeros((1, crop, crop, in_channels), jnp.float32)
         self.state = create_train_state(self.model, self.tx,
                                         jax.random.PRNGKey(config.get("seed", 0)),
                                         sample)
@@ -94,6 +95,7 @@ class Trainer:
             self.model, self.loss_fn, self.num_classes,
             ignore_index=self.ignore_index, mesh=self.mesh,
             compute_dtype=compute_dtype)
+        self.compute_dtype = compute_dtype
         self.rng = jax.random.PRNGKey(config.get("seed", 0) + 1)
 
         # Monitoring (reference base_trainer.py:60-69)
@@ -268,17 +270,17 @@ class Trainer:
         eval_step_logits = None
         prefetcher = DevicePrefetcher(self.val_loader, self.mesh)
         for it, (images, labels) in enumerate(prefetcher):
-            loss, stats = self.eval_step(self.state, images, labels)
-            total_stats = total_stats + stats
-            loss_acc = loss_acc + loss
-            n_iters += 1
-            if it < 15 and self.writer is not None and len(viz) < 15:
+            want_viz = it < 15 and self.writer is not None and len(viz) < 15
+            if want_viz:
+                # logits-returning variant replaces (not duplicates) the
+                # plain eval forward for the viz window
                 if eval_step_logits is None:
                     eval_step_logits = make_eval_step(
                         self.model, self.loss_fn, self.num_classes,
                         ignore_index=self.ignore_index, mesh=self.mesh,
-                        return_logits=True)
-                _, _, logits = eval_step_logits(self.state, images, labels)
+                        compute_dtype=self.compute_dtype, return_logits=True)
+                loss, stats, logits = eval_step_logits(self.state, images,
+                                                       labels)
                 pred = np.asarray(jnp.argmax(logits[:1], -1))[0]
                 viz.append((np.asarray(images.addressable_shards[0].data[0])
                             if hasattr(images, "addressable_shards")
@@ -287,6 +289,11 @@ class Trainer:
                             if hasattr(labels, "addressable_shards")
                             else np.asarray(labels[0]),
                             pred))
+            else:
+                loss, stats = self.eval_step(self.state, images, labels)
+            total_stats = total_stats + stats
+            loss_acc = loss_acc + loss
+            n_iters += 1
 
         seg = metrics_lib.summarize(total_stats)
         avg_loss = float(loss_acc) / max(n_iters, 1)

@@ -105,3 +105,16 @@ def test_device_prefetcher():
 def test_registry_names_match_reference():
     assert set(DATASETS) == {"VOC", "COCO", "ADE20K", "CityScapes",
                              "DeepScene", "Synthetic"}
+
+
+def test_val_split_loader_keeps_ragged_tail():
+    """The split val loader must not inherit train drop_last (7 samples,
+    batch 8 would otherwise yield zero batches)."""
+    loader = Synthetic(batch_size=8, size=70, val_split=0.1)
+    val = loader.get_val_loader()
+    assert len(val.indices) == 7
+    batches = list(val)
+    assert len(batches) == 1
+    imgs, labels = batches[0]
+    assert imgs.shape[0] == 8  # padded to the static batch
+    assert (labels[7:] == -100).all()
