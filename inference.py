@@ -52,7 +52,7 @@ def main():
         jnp.zeros((1, 64, 64, len(mean)), jnp.float32), train=False)
     params, batch_stats = load_model_weights(
         args.model, variables["params"], variables.get("batch_stats", {}))
-    predict = make_predictor(model, params, batch_stats)
+    predict = make_predictor(model, params, batch_stats, bucket=args.bucket)
 
     os.makedirs(args.output, exist_ok=True)
     image_files = sorted(glob(os.path.join(args.images, f"*.{args.extension}")))
@@ -87,6 +87,9 @@ def parse_arguments():
                         help="Output Path")
     parser.add_argument("-e", "--extension", default="jpg", type=str,
                         help="The extension of the images to be segmented")
+    parser.add_argument("-b", "--bucket", default=None, type=int,
+                        help="Pad inputs to multiples of this (e.g. 128) to "
+                             "bound XLA recompiles across image sizes")
     return parser.parse_args()
 
 

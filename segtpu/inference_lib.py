@@ -26,14 +26,33 @@ from scipy import ndimage
 from segtpu.ops.resize import resize_bilinear
 
 
-def make_predictor(model, params, batch_stats) -> Callable:
-    """Jitted (cached per input shape) eval-mode forward: NHWC -> logits."""
+def make_predictor(model, params, batch_stats,
+                   bucket: int | None = None) -> Callable:
+    """Jitted (cached per input shape) eval-mode forward: NHWC -> logits.
+
+    ``bucket``: pad H/W up to the next multiple before the forward and crop
+    the logits back. Real-world inference directories contain arbitrarily
+    sized images; without bucketing every (scale x image size) pair triggers
+    a fresh XLA compile (minutes each on TPU). Bucketing trades exact border
+    behavior (zero-pad context) for a bounded compile count.
+    """
 
     @jax.jit
-    def predict(x):
+    def _predict(x):
         out = model.apply({"params": params, "batch_stats": batch_stats},
                           x, train=False)
         return out["out"].astype(jnp.float32)
+
+    if bucket is None:
+        return _predict
+
+    def predict(x):
+        h, w = x.shape[1], x.shape[2]
+        ph = (-h) % bucket
+        pw = (-w) % bucket
+        if ph or pw:
+            x = np.pad(np.asarray(x), ((0, 0), (0, ph), (0, pw), (0, 0)))
+        return _predict(x)[:, :h, :w]
 
     return predict
 

@@ -43,3 +43,28 @@ def test_multi_scale_shapes_and_identity_scale():
                                flip=True)
     assert out2.shape == (32, 48, NC)
     assert np.isfinite(out2).all()
+
+
+def test_bucketed_predictor_crops_back():
+    import jax
+    import jax.numpy as jnp
+    import flax.linen as nn
+
+    from segtpu.inference_lib import make_predictor
+
+    class Pointwise(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            return {"out": nn.Conv(NC, (1, 1))(x)}
+
+    model = Pointwise()
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(1, 50, 70, 3)).astype(np.float32))
+    v = model.init(jax.random.PRNGKey(0), x)
+    exact = make_predictor(model, v["params"], {})
+    bucketed = make_predictor(model, v["params"], {}, bucket=32)
+    ye = np.asarray(exact(x))
+    yb = np.asarray(bucketed(x))
+    assert yb.shape == ye.shape == (1, 50, 70, NC)
+    # pointwise model: padding cannot leak, results identical
+    np.testing.assert_allclose(yb, ye, rtol=1e-6, atol=1e-6)
