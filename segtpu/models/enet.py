@@ -115,10 +115,13 @@ class Bottleneck(nn.Module):
         y = nn.Dropout(self.p_drop, deterministic=not train,
                        broadcast_dims=(1, 2))(y)  # Dropout2d: per-channel
 
-        if identity.shape != y.shape:
-            ph = identity.shape[1] - y.shape[1]
-            pw = identity.shape[2] - y.shape[2]
-            y = jnp.pad(y, ((0, 0), (ph, 0), (pw, 0), (0, 0)))
+        if identity.shape[1:3] != y.shape[1:3]:
+            # torch F.pad semantics: negative pad crops (odd input sizes make
+            # the ConvTranspose branch one pixel LARGER than the unpooled
+            # identity, reference models/enet.py:114-117)
+            from segtpu.ops.shape import pad_or_crop_tl
+
+            y = pad_or_crop_tl(y, identity.shape[1], identity.shape[2])
 
         y = activate(y + identity, "prelu_out")
         if self.downsample:
@@ -171,4 +174,9 @@ class ENet(nn.Module):
         out = ConvTranspose(self.num_classes, 3, 2, 1, output_padding=1,
                             use_bias=False, kernel_init=kaiming_normal_init,
                             name="fullconv")(y)
+        # odd input sizes produce one extra output pixel (the reference has
+        # no epilogue crop and would fail the loss shape check upstream —
+        # latent bug); crop back to the input extent
+        if out.shape[1] != x.shape[1] or out.shape[2] != x.shape[2]:
+            out = out[:, : x.shape[1], : x.shape[2], :]
         return {"out": out}

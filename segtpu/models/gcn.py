@@ -204,17 +204,23 @@ class GCN(nn.Module):
                                  kernel_init=kaiming_normal_init, name=name)
 
         if self.use_deconv:
+            from segtpu.ops.shape import pad_or_crop_tl
+
             x4 = deconv("decon4")(x4)
-            if x4.shape != x3.shape:
-                x4 = jnp.pad(x4, ((0, 0), (x3.shape[1] - x4.shape[1], 0),
-                                  (x3.shape[2] - x4.shape[2], 0), (0, 0)))
+            if x4.shape[1:3] != x3.shape[1:3]:
+                x4 = pad_or_crop_tl(x4, x3.shape[1], x3.shape[2])
             x3 = deconv("decon3")(BRBlock(name="br5")(x3 + x4))
-            if x3.shape != x2.shape:
-                x3 = jnp.pad(x3, ((0, 0), (x2.shape[1] - x3.shape[1], 0),
-                                  (x2.shape[2] - x3.shape[2], 0), (0, 0)))
+            if x3.shape[1:3] != x2.shape[1:3]:
+                x3 = pad_or_crop_tl(x3, x2.shape[1], x2.shape[2])
             x2 = deconv("decon2")(BRBlock(name="br6")(x2 + x3))
+            if x2.shape[1:3] != x1.shape[1:3]:
+                # the reference omits this alignment and would crash on odd
+                # sizes (latent upstream bug); documented divergence
+                x2 = pad_or_crop_tl(x2, x1.shape[1], x1.shape[2])
             x1 = deconv("decon1")(BRBlock(name="br7")(x1 + x2))
             y = BRBlock(name="br9")(deconv("decon5")(BRBlock(name="br8")(x1)))
+            if y.shape[1:3] != (H, W):
+                y = pad_or_crop_tl(y, H, W)
         else:
             x4 = resize_bilinear(x4, x3.shape[1:3], align_corners=True)
             x3 = resize_bilinear(BRBlock(name="br5")(x3 + x4), x2.shape[1:3],

@@ -130,3 +130,19 @@ def test_in_channels_4():
         variables = model.init({"params": key, "dropout": key}, x, train=False)
         out = model.apply(variables, x, train=False)
         assert out["out"].shape == (1, 64, 64, 4)
+
+
+@pytest.mark.parametrize("name,kwargs", [
+    ("ENet", {}),
+    ("GCN", {"backbone": "resnet18", "use_deconv": True}),
+])
+def test_odd_input_sizes(name, kwargs):
+    """Odd crops (e.g. Cityscapes 769) must work: torch F.pad crops on
+    negative pads, jnp.pad does not — regression for the pad_or_crop paths."""
+    model = get_model(name, num_classes=NUM_CLASSES, **kwargs)
+    hw = 97
+    x = jnp.zeros((1, hw, hw, 3), jnp.float32)
+    key = jax.random.PRNGKey(0)
+    variables = model.init({"params": key, "dropout": key}, x, train=False)
+    out = model.apply(variables, x, train=False)
+    assert out["out"].shape == (1, hw, hw, NUM_CLASSES)
