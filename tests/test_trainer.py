@@ -43,7 +43,18 @@ def _loaders():
     return train, val
 
 
+import jax
 import jax.numpy as jnp
+
+
+def _small_mesh():
+    """2-device mesh: the full 8-way CPU mesh oversubscribes the 1-core host
+    and can hit the in-process collective rendezvous termination timeout when
+    anything else runs concurrently; 8-way DP equivalence is covered in
+    tests/test_core.py."""
+    from segtpu.core import make_mesh
+
+    return make_mesh(devices=jax.devices()[:2])
 
 
 def test_trainer_end_to_end_and_resume(tmp_path):
@@ -53,7 +64,8 @@ def test_trainer_end_to_end_and_resume(tmp_path):
     logger = Logger()
     trainer = Trainer(model=model, loss="CrossEntropyLoss2d", config=config,
                       train_loader=train_loader, val_loader=val_loader,
-                      train_logger=logger, compute_dtype=jnp.float32)
+                      train_logger=logger, mesh=_small_mesh(),
+                      compute_dtype=jnp.float32)
     trainer.train()
 
     entries = list(logger.entries.values())
@@ -75,7 +87,7 @@ def test_trainer_end_to_end_and_resume(tmp_path):
                        train_loader=train_loader, val_loader=val_loader,
                        resume=os.path.join(trainer.checkpoint_dir,
                                            "checkpoint-epoch2"),
-                       compute_dtype=jnp.float32)
+                       mesh=_small_mesh(), compute_dtype=jnp.float32)
     assert trainer2.start_epoch == 3
     assert math.isfinite(trainer2.mnt_best)
     # restored params match saved params
