@@ -174,6 +174,11 @@ class ResNetFeatures(nn.Module):
     in_features_stem: int = 64
     stem_stride: int = 2
     dilate_only_last: bool = False
+    # Rematerialize each residual block during backprop: peak activation
+    # memory drops to roughly one block's working set for ~1/3 extra FLOPs —
+    # the per-block granularity jax.checkpoint can't get from outside the
+    # model (whole-function remat measured a net loss, CLAUDE.md).
+    remat_blocks: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -204,6 +209,10 @@ class ResNetFeatures(nn.Module):
         widths = (64, 128, 256, 512)
         feats = []
         in_planes = 128 if deep_base else 64
+        bottleneck_cls = (nn.remat(Bottleneck, static_argnums=(2,))
+                          if self.remat_blocks else Bottleneck)
+        basic_cls = (nn.remat(BasicBlock, static_argnums=(2,))
+                     if self.remat_blocks else BasicBlock)
         for li in range(4):
             planes = widths[li]
             out_planes = planes * (4 if block_kind == "bottleneck" else 1)
@@ -211,10 +220,10 @@ class ResNetFeatures(nn.Module):
                 stride = strides[li] if bi == 0 else 1
                 needs_ds = bi == 0 and (stride != 1 or in_planes != out_planes)
                 if block_kind == "bottleneck":
-                    y = Bottleneck(planes, stride, dils[li][bi],
-                                   has_downsample=needs_ds,
-                                   downsample_stride=stride,
-                                   name=f"layer{li + 1}_{bi}")(y, train=train)
+                    y = bottleneck_cls(planes, stride, dils[li][bi],
+                                       has_downsample=needs_ds,
+                                       downsample_stride=stride,
+                                       name=f"layer{li + 1}_{bi}")(y, train)
                 else:
                     # BasicBlock: conv1 carries the block dilation, conv2 the
                     # layer's nominal dilation (reference models/resnet.py:43-48
@@ -222,10 +231,10 @@ class ResNetFeatures(nn.Module):
                     # get the same d (reference models/deeplabv3_plus.py:40-43).
                     d1 = dils[li][bi]
                     d2 = max(dils[li]) if self.style == "encoding" else d1
-                    y = BasicBlock(planes, stride, d1, d2,
-                                   has_downsample=needs_ds,
-                                   downsample_stride=stride,
-                                   name=f"layer{li + 1}_{bi}")(y, train=train)
+                    y = basic_cls(planes, stride, d1, d2,
+                                  has_downsample=needs_ds,
+                                  downsample_stride=stride,
+                                  name=f"layer{li + 1}_{bi}")(y, train)
                 in_planes = out_planes
             feats.append(y)
         return feats

@@ -51,12 +51,14 @@ class PSPNet(nn.Module):
     use_aux: bool = True
     freeze_bn: bool = False
     freeze_backbone: bool = False
+    remat_backbone: bool = False  # per-block remat: bigger batches/crops
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         bn_train = train and not self.freeze_bn
         H, W = x.shape[1], x.shape[2]
         feats = ResNetFeatures(arch=self.backbone, style="encoding",
+                               remat_blocks=self.remat_backbone,
                                name="backbone")(x, train=bn_train)
         x_aux, y = feats[2], feats[3]
         m_out = y.shape[-1]

@@ -146,3 +146,17 @@ def test_odd_input_sizes(name, kwargs):
     variables = model.init({"params": key, "dropout": key}, x, train=False)
     out = model.apply(variables, x, train=False)
     assert out["out"].shape == (1, hw, hw, NUM_CLASSES)
+
+
+def test_remat_backbone_identical_forward():
+    x = jnp.ones((1, 64, 64, 3), jnp.float32) * 0.2
+    key = jax.random.PRNGKey(0)
+    a = get_model("PSPNet", num_classes=NUM_CLASSES, backbone="resnet18",
+                  use_aux=False, remat_backbone=False)
+    b = get_model("PSPNet", num_classes=NUM_CLASSES, backbone="resnet18",
+                  use_aux=False, remat_backbone=True)
+    va = a.init({"params": key, "dropout": key}, x, train=False)
+    ya = a.apply(va, x, train=False)["out"]
+    yb = b.apply(va, x, train=False)["out"]  # same params: remat is math-free
+    np.testing.assert_allclose(np.asarray(ya), np.asarray(yb),
+                               rtol=1e-6, atol=1e-6)
