@@ -70,4 +70,9 @@ class DeepLab_DUC_HDC(nn.Module):
         y = DUCDecoder(self.num_classes, name="decoder")(y, low_level,
                                                          train=bn_train)
         out = DUC(self.num_classes, upscale=4, name="duc_out")(y, train=bn_train)
+        # odd inputs: the 4x pixel-shuffle overshoots by up to 3 px (the
+        # reference returns the oversized map and would fail the loss shape
+        # check upstream — latent bug); crop to the input extent
+        if out.shape[1] != x.shape[1] or out.shape[2] != x.shape[2]:
+            out = out[:, : x.shape[1], : x.shape[2], :]
         return {"out": out}

@@ -191,8 +191,14 @@ class SegResNet(nn.Module):
                                     name=f"decoder4_{bi}")(y, train=bn_train)
         y = _LastBottleneck(256, name="decoder4_last")(y, train=bn_train)
 
-        if y.shape[1:3] != (pre_hw[0] // 2, pre_hw[1] // 2):
-            y = y[:, : pre_hw[0] // 2, : pre_hw[1] // 2, :]
+        # align to the POOLED grid (idx shape) — odd inputs make the argmax
+        # pool pad up, so pre_hw//2 under-counts by one (reference
+        # models/segnet.py:246-252 does an equivalent ceil-crop)
+        gh, gw = idx.shape[1], idx.shape[2]
+        if y.shape[1:3] != (gh, gw):
+            from segtpu.ops.shape import pad_or_crop_tl
+
+            y = pad_or_crop_tl(y, gh, gw)
         y = max_unpool(y, idx, output_size=pre_hw)
         y = ConvTranspose(64, 2, 2, use_bias=False, name="last_up")(y)
         out = Conv(self.num_classes, 3, padding=1, name="classifier")(y)

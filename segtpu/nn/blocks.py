@@ -148,6 +148,12 @@ class FPNFuse(nn.Module):
     def __call__(self, features: Sequence[jnp.ndarray], train: bool = True) -> jnp.ndarray:
         feats = list(features)
         n = len(feats)
+        # The reference asserts feature_channels[0] == fpn_out
+        # (models/upernet.py:95), which silently rules out resnet18/34
+        # backbones at the default fpn_out; here the finest level gets its
+        # own projection when widths differ (documented divergence).
+        if feats[0].shape[-1] != self.fpn_out:
+            feats[0] = Conv(self.fpn_out, 1, name="lateral_p0")(feats[0])
         for i in range(1, n):
             feats[i] = Conv(self.fpn_out, 1, name=f"lateral{i - 1}")(feats[i])
         merged = []

@@ -135,6 +135,9 @@ def test_in_channels_4():
 @pytest.mark.parametrize("name,kwargs", [
     ("ENet", {}),
     ("GCN", {"backbone": "resnet18", "use_deconv": True}),
+    ("SegResNet", {}),
+    ("UperNet", {"backbone": "resnet18"}),
+    ("DeepLab_DUC_HDC", {"backbone": "resnet18"}),
 ])
 def test_odd_input_sizes(name, kwargs):
     """Odd crops (e.g. Cityscapes 769) must work: torch F.pad crops on
