@@ -44,11 +44,16 @@ def main():
         sd = sd["state_dict"]
     sd = {k: v.numpy() if hasattr(v, "numpy") else v for k, v in sd.items()}
 
+    extras = {}
     if args.family == "resnet":
         params, stats = wc.convert_resnet(sd, arch=args.arch or "resnet50",
                                           style=args.style)
     elif args.family == "vgg16":
         params, stats = wc.convert_vgg16(sd, batch_norm=args.bn)
+        if not args.bn and "classifier.0.weight" in sd:
+            # FCN8's conv6/conv7 from VGG's FC layers (reference
+            # models/fcn.py:39-45) — required by segtpu.pretrained for FCN8.
+            extras = wc.convert_vgg16_classifier(sd)
     elif args.family == "densenet":
         params, stats = wc.convert_densenet(sd, arch=args.arch or "densenet201")
     else:
@@ -58,7 +63,10 @@ def main():
 
     ckptr = ocp.StandardCheckpointer()
     path = os.path.abspath(args.output)
-    ckptr.save(path, {"params": params, "batch_stats": stats}, force=True)
+    tree = {"params": params, "batch_stats": stats}
+    if extras:
+        tree["extras"] = extras
+    ckptr.save(path, tree, force=True)
     ckptr.wait_until_finished()
     n = sum(getattr(v, "size", 0) for v in
             __import__("flax").traverse_util.flatten_dict(params).values())

@@ -87,6 +87,12 @@ class Trainer:
         self.state = create_train_state(self.model, self.tx,
                                         jax.random.PRNGKey(config.get("seed", 0)),
                                         sample)
+        # Pretrained encoder init (reference does this in every model
+        # constructor, e.g. models/resnet.py:292-306; fails loudly when the
+        # converted weights are missing — see segtpu/pretrained.py).
+        from segtpu.pretrained import maybe_load_pretrained
+
+        self.state = maybe_load_pretrained(self.state, self.model, config)
         self.train_step = make_train_step(
             self.model, self.loss_fn, self.num_classes,
             ignore_index=self.ignore_index, mesh=self.mesh,
