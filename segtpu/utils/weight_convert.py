@@ -35,6 +35,16 @@ def _conv(w) -> np.ndarray:
     return np.transpose(np.asarray(w, np.float32), (2, 3, 1, 0))
 
 
+def _convT(w) -> np.ndarray:
+    """torch ConvTranspose2d kernel (I, O, kh, kw) -> HWIO (kh, kw, I, O);
+    segtpu's ConvTranspose flips spatially at call time (nn/layers.py:151)."""
+    return np.transpose(np.asarray(w, np.float32), (2, 3, 0, 1))
+
+
+def _vec(v) -> np.ndarray:
+    return np.asarray(v, np.float32)
+
+
 def _bn(sd, torch_prefix) -> Tuple[Dict, Dict]:
     params = {"scale": np.asarray(sd[f"{torch_prefix}.weight"], np.float32),
               "bias": np.asarray(sd[f"{torch_prefix}.bias"], np.float32)}
@@ -250,8 +260,165 @@ def convert_xception(state_dict: Dict) -> Tuple[Dict, Dict]:
     return params, stats
 
 
+# ---------------------------------------------------------------------------
+# FULL-MODEL converters: migrate reference-trained checkpoints (torch
+# state_dicts of the whole network, not just the encoder) into segtpu
+# variable trees. Also the basis of the numerical-parity test suite
+# (tests/test_reference_parity.py).
+
+def convert_unet(state_dict: Dict) -> Tuple[Dict, Dict]:
+    """Reference UNet (models/unet.py:61-117) -> segtpu UNet variables.
+
+    torch x2conv is Sequential[conv,bn,relu,conv,bn,relu] (models/unet.py:12-21);
+    decoder ``up`` is ConvTranspose2d(k=2,s=2) (models/unet.py:36)."""
+    sd = state_dict
+    params: Dict = {}
+    stats: Dict = {}
+
+    def x2(name, t):
+        p = {"conv1": {"kernel": _conv(sd[f"{t}.0.weight"])},
+             "conv2": {"kernel": _conv(sd[f"{t}.3.weight"])}}
+        s = {}
+        p["bn1"], s["bn1"] = _bn(sd, f"{t}.1")
+        p["bn2"], s["bn2"] = _bn(sd, f"{t}.4")
+        params[name] = p
+        stats[name] = s
+
+    x2("start_conv", "start_conv")
+    for i in range(1, 5):
+        x2(f"down{i}", f"down{i}.down_conv")
+    x2("middle_conv", "middle_conv")
+    for i in range(1, 5):
+        params[f"up{i}_up"] = {"kernel": _convT(sd[f"up{i}.up.weight"]),
+                               "bias": _vec(sd[f"up{i}.up.bias"])}
+        x2(f"up{i}_conv", f"up{i}.up_conv")
+    params["final_conv"] = {"kernel": _conv(sd["final_conv.weight"]),
+                            "bias": _vec(sd["final_conv.bias"])}
+    return params, stats
+
+
+def convert_enet(state_dict: Dict) -> Tuple[Dict, Dict]:
+    """Reference ENet (models/enet.py:126-218) -> segtpu ENet variables.
+
+    Bottleneck variant (down/up/asymmetric/plain) is detected from the
+    state_dict keys themselves; PReLU ``weight`` -> ``alpha``. Note the
+    reference's attribute typo ``spatil_conv`` (models/enet.py:40)."""
+    sd = state_dict
+    params: Dict = {}
+    stats: Dict = {}
+
+    init_p = {"conv": {"kernel": _conv(sd["initial.conv.weight"]),
+                       "bias": _vec(sd["initial.conv.bias"])}}
+    init_s: Dict = {}
+    init_p["bn"], init_s["bn"] = _bn(sd, "initial.bn")
+    init_p["prelu"] = {"alpha": _vec(sd["initial.prelu.weight"])}
+    params["initial"] = init_p
+    stats["initial"] = init_s
+
+    names = sorted({k.split(".")[0] for k in sd if k.startswith("bottleneck")})
+    for t in names:
+        bp: Dict = {}
+        bs: Dict = {}
+
+        def put_bn(name, torch_name):
+            bp[name], bs[name] = _bn(sd, f"{t}.{torch_name}")
+
+        def put_prelu(name, torch_name):
+            k = f"{t}.{torch_name}.weight"
+            if k in sd:  # use_prelu=False blocks have parameter-free ReLUs
+                bp[name] = {"alpha": _vec(sd[k])}
+
+        upsample = f"{t}.spatil_conv.weight" in sd
+        asymmetric = f"{t}.conv2.0.weight" in sd
+        if upsample:
+            bp["spatial_conv"] = {"kernel": _conv(sd[f"{t}.spatil_conv.weight"])}
+            put_bn("bn_up", "bn_up")
+        bp["conv1"] = {"kernel": _conv(sd[f"{t}.conv1.weight"])}
+        put_bn("bn1", "bn1")
+        put_prelu("prelu1", "prelu1")
+        if asymmetric:
+            bp["conv2a"] = {"kernel": _conv(sd[f"{t}.conv2.0.weight"]),
+                            "bias": _vec(sd[f"{t}.conv2.0.bias"])}
+            put_bn("bn2a", "conv2.1")
+            put_prelu("prelu2a", "conv2.2")
+            bp["conv2b"] = {"kernel": _conv(sd[f"{t}.conv2.3.weight"]),
+                            "bias": _vec(sd[f"{t}.conv2.3.bias"])}
+        elif upsample:
+            bp["conv2"] = {"kernel": _convT(sd[f"{t}.conv2.weight"])}
+        else:
+            bp["conv2"] = {"kernel": _conv(sd[f"{t}.conv2.weight"])}
+        put_bn("bn2", "bn2")
+        put_prelu("prelu2", "prelu2")
+        bp["conv3"] = {"kernel": _conv(sd[f"{t}.conv3.weight"])}
+        put_bn("bn3", "bn3")
+        put_prelu("prelu3", "prelu3")
+        put_prelu("prelu_out", "prelu_out")
+        params[t] = bp
+        stats[t] = bs
+
+    params["fullconv"] = {"kernel": _convT(sd["fullconv.weight"])}
+    return params, stats
+
+
+def convert_pspnet(state_dict: Dict, arch: str = "resnet50") -> Tuple[Dict, Dict]:
+    """Reference PSPNet (models/pspnet.py:41-105) -> segtpu PSPNet variables.
+
+    The backbone keys are the reference resnet's re-prefixed under
+    ``initial.``/``layerX.`` (models/pspnet.py:49-58) — un-prefix and reuse
+    convert_resnet; head = _PSPModule stages + bottleneck (models/pspnet.py:11-38),
+    1x1 classifier, and the auxiliary branch (models/pspnet.py:65-70)."""
+    sd = state_dict
+    deep = any(k.startswith("initial.0.0.") for k in sd)
+    bb: Dict = {}
+    for k, v in sd.items():
+        # deep stem: initial.0 is the conv1 Sequential (initial.0.0.weight ->
+        # conv1.0.weight); plain stem: initial.0 is conv1 itself
+        # (initial.0.weight -> conv1.weight). Same prefix swap either way.
+        if k.startswith("initial.0."):
+            bb["conv1." + k[len("initial.0."):]] = v
+        elif k.startswith("initial.1."):
+            bb["bn1." + k[len("initial.1."):]] = v
+        elif k.startswith("layer"):
+            bb[k] = v
+    bparams, bstats = convert_resnet(
+        bb, arch=arch, style="encoding" if deep else "torchvision")
+    params: Dict = {"backbone": bparams}
+    stats: Dict = {"backbone": bstats}
+
+    psp_p: Dict = {}
+    psp_s: Dict = {}
+    for i in range(4):
+        t = f"master_branch.0.stages.{i}"
+        psp_p[f"stage{i}_conv"] = {"kernel": _conv(sd[f"{t}.1.weight"])}
+        psp_p[f"stage{i}_bn"], psp_s[f"stage{i}_bn"] = _bn(sd, f"{t}.2")
+    psp_p["bottleneck_conv"] = {
+        "kernel": _conv(sd["master_branch.0.bottleneck.0.weight"])}
+    psp_p["bottleneck_bn"], psp_s["bottleneck_bn"] = _bn(
+        sd, "master_branch.0.bottleneck.1")
+    params["psp"] = psp_p
+    stats["psp"] = psp_s
+    params["classifier"] = {"kernel": _conv(sd["master_branch.1.weight"]),
+                            "bias": _vec(sd["master_branch.1.bias"])}
+
+    if "auxiliary_branch.0.weight" in sd:
+        aux_p: Dict = {"conv": {"kernel": _conv(sd["auxiliary_branch.0.weight"])}}
+        aux_s: Dict = {}
+        aux_p["bn"], aux_s["bn"] = _bn(sd, "auxiliary_branch.1")
+        aux_p["classifier"] = {"kernel": _conv(sd["auxiliary_branch.4.weight"]),
+                               "bias": _vec(sd["auxiliary_branch.4.bias"])}
+        params["aux_branch"] = aux_p
+        stats["aux_branch"] = aux_s
+    return params, stats
+
+
 CONVERTERS = {
     "resnet": convert_resnet,
     "vgg16": convert_vgg16,
     "densenet": convert_densenet,
+}
+
+MODEL_CONVERTERS = {
+    "UNet": convert_unet,
+    "ENet": convert_enet,
+    "PSPNet": convert_pspnet,
 }
