@@ -1,58 +1,35 @@
-"""ADE20K dataset: 150 classes, labels shifted by -1 so 'unlabeled' becomes
--1 (hence config ignore_index: -1 for ADE20K).
+"""ADE20K SceneParsing, 150 classes.
 
-Parity: reference dataloaders/ade20k.py (:13-62).
+Stored labels are class+1 with 0 = unlabeled; the -1 shift maps unlabeled to
+-1, so ADE20K configs use ``ignore_index: -1`` (reference
+dataloaders/ade20k.py:30-36).
 """
 
 from __future__ import annotations
 
 import os
-from glob import glob
-
-import numpy as np
-from PIL import Image
 
 from segtpu import palette
-from segtpu.data.base import BaseDataset, DataLoader
+from segtpu.data import manifest as mf
 
 MEAN = [0.48897059, 0.46548275, 0.4294]
 STD = [0.22861765, 0.22948039, 0.24054667]
 
-
-class ADE20KDataset(BaseDataset):
-    def __init__(self, **kwargs):
-        self.num_classes = 150
-        self.palette = palette.ADE20K_palette
-        super().__init__(**kwargs)
-
-    def _set_files(self):
-        if self.split not in ["training", "validation"]:
-            raise ValueError(f"Invalid split name {self.split}")
-        self.image_dir = os.path.join(self.root, "images", self.split)
-        self.label_dir = os.path.join(self.root, "annotations", self.split)
-        self.files = [os.path.basename(p).split(".")[0]
-                      for p in glob(self.image_dir + "/*.jpg")]
-
-    def _load_data(self, index):
-        image_id = self.files[index]
-        image = np.asarray(
-            Image.open(os.path.join(self.image_dir, image_id + ".jpg"))
-            .convert("RGB"), dtype=np.float32)
-        label = np.asarray(
-            Image.open(os.path.join(self.label_dir, image_id + ".png")),
-            dtype=np.int32) - 1  # from -1 (ignore) to 149
-        return image, label, image_id
+_SPLITS = {"training", "validation"}
 
 
-class ADE20K(DataLoader):
-    def __init__(self, data_dir, batch_size, split, crop_size=None,
-                 base_size=None, scale=True, num_workers=1, val=False,
-                 shuffle=False, flip=False, rotate=False, blur=False,
-                 augment=False, val_split=None, return_id=False):
-        self.MEAN, self.STD = MEAN, STD
-        dataset = ADE20KDataset(
-            root=data_dir, split=split, mean=MEAN, std=STD, augment=augment,
-            crop_size=crop_size, base_size=base_size, scale=scale, flip=flip,
-            blur=blur, rotate=rotate, return_id=return_id, val=val)
-        super().__init__(dataset, batch_size, shuffle, num_workers,
-                         val_split or 0.0)
+def _records(root: str, split: str):
+    return mf.glob_records(
+        os.path.join(root, "images", split, "*.jpg"),
+        label_tpl=os.path.join(root, "annotations", split, "{id}.png"))
+
+
+class ADE20K(mf.ManifestLoader):
+    @staticmethod
+    def manifest(split: str) -> mf.Manifest:
+        if split not in _SPLITS:
+            raise mf.bad_split(split, "ADE20K", _SPLITS)
+        return mf.Manifest(num_classes=150, mean=MEAN, std=STD,
+                           palette=palette.ADE20K_palette,
+                           records=_records,
+                           read_label=mf.shifted_id_png(-1))

@@ -1,100 +1,76 @@
-"""COCO-Stuff datasets (10k .mat labels, 164k png labels), 182 classes.
-
-Parity: reference dataloaders/coco.py — CocoStuff10k (:14-38: scipy.io .mat
-labels, unlabeled 0 -> 255, optional warp to 513^2), CocoStuff164k (:40-58:
-grayscale png labels), partition dispatch (:95-97).
+"""COCO-Stuff, 182 classes: 10k (.mat labels, optional 513x513 warp) and
+164k (grayscale PNG labels) partitions (reference dataloaders/coco.py).
 """
 
 from __future__ import annotations
 
 import os
-from glob import glob
 
 import cv2
 import numpy as np
-import scipy.io as sio
 from PIL import Image
 
 from segtpu import palette
-from segtpu.data.base import BaseDataset, DataLoader
+from segtpu.data import manifest as mf
 
 MEAN = [0.43931922, 0.41310471, 0.37480941]
 STD = [0.24272706, 0.23649098, 0.23429529]
 
-
-class CocoStuff10k(BaseDataset):
-    def __init__(self, warp_image=True, **kwargs):
-        self.warp_image = warp_image
-        self.num_classes = 182
-        self.palette = palette.COCO_palette
-        super().__init__(**kwargs)
-
-    def _set_files(self):
-        if self.split not in ["train", "test", "all"]:
-            raise ValueError(
-                f"Invalid split name {self.split}, choose one of [train, test, all]")
-        file_list = os.path.join(self.root, "imageLists", self.split + ".txt")
-        self.files = [name.rstrip() for name in open(file_list)]
-
-    def _load_data(self, index):
-        image_id = self.files[index]
-        image = np.asarray(
-            Image.open(os.path.join(self.root, "images", image_id + ".jpg")),
-            dtype=np.float32)
-        label = sio.loadmat(
-            os.path.join(self.root, "annotations", image_id + ".mat"))["S"]
-        label = label.astype(np.int32) - 1  # unlabeled 0 -> -1
-        label[label == -1] = 255
-        if self.warp_image:
-            image = cv2.resize(image, (513, 513), interpolation=cv2.INTER_LINEAR)
-            label = np.asarray(
-                Image.fromarray(label.astype(np.uint8)).resize(
-                    (513, 513), resample=Image.NEAREST), dtype=np.int32)
-        return image, label, image_id
+_SPLITS_10K = {"train", "test", "all"}
+_SPLITS_164K = {"train2017", "val2017"}
 
 
-class CocoStuff164k(BaseDataset):
-    def __init__(self, **kwargs):
-        self.num_classes = 182
-        self.palette = palette.COCO_palette
-        super().__init__(**kwargs)
+def _mat_label(path: str) -> np.ndarray:
+    """10k ground truth ships as MATLAB ``S`` matrices: 0 = unlabeled, so
+    shift to 0-based ids with unlabeled -> 255."""
+    import scipy.io as sio
 
-    def _set_files(self):
-        if self.split not in ["train2017", "val2017"]:
-            raise ValueError(
-                f"Invalid split name {self.split}, either train2017 or val2017")
-        file_list = sorted(glob(os.path.join(self.root, "images",
-                                             self.split + "/*.jpg")))
-        self.files = [os.path.basename(f).split(".")[0] for f in file_list]
-
-    def _load_data(self, index):
-        image_id = self.files[index]
-        image = np.asarray(
-            Image.open(os.path.join(self.root, "images", self.split,
-                                    image_id + ".jpg")).convert("RGB"),
-            dtype=np.float32)
-        label = cv2.imread(
-            os.path.join(self.root, "annotations", self.split,
-                         image_id + ".png"), cv2.IMREAD_GRAYSCALE)
-        return image, np.asarray(label, np.int32), image_id
+    label = np.asarray(sio.loadmat(path)["S"], np.int32) - 1
+    return np.where(label < 0, 255, label)
 
 
-class COCO(DataLoader):
-    def __init__(self, data_dir, batch_size, split, crop_size=None,
-                 base_size=None, scale=True, num_workers=1,
-                 partition="CocoStuff164k", shuffle=False, flip=False,
-                 rotate=False, blur=False, augment=False, val_split=None,
-                 return_id=False, val=False):
-        self.MEAN, self.STD = MEAN, STD
-        kwargs = dict(root=data_dir, split=split, mean=MEAN, std=STD,
-                      augment=augment, crop_size=crop_size,
-                      base_size=base_size, scale=scale, flip=flip, blur=blur,
-                      rotate=rotate, return_id=return_id, val=val)
+def _warp_513(image: np.ndarray, label: np.ndarray):
+    """10k's fixed-size warp (reference dataloaders/coco.py:33-37)."""
+    image = cv2.resize(image, (513, 513), interpolation=cv2.INTER_LINEAR)
+    label = np.asarray(
+        Image.fromarray(label.astype(np.uint8)).resize(
+            (513, 513), resample=Image.NEAREST), dtype=np.int32)
+    return image, label
+
+
+def _gray_png(path: str) -> np.ndarray:
+    return np.asarray(cv2.imread(path, cv2.IMREAD_GRAYSCALE), np.int32)
+
+
+def _records_10k(root: str, split: str):
+    ids = mf.read_list(os.path.join(root, "imageLists", f"{split}.txt"))
+    return mf.id_records(ids,
+                         image_tpl=os.path.join(root, "images", "{id}.jpg"),
+                         label_tpl=os.path.join(root, "annotations", "{id}.mat"))
+
+
+def _records_164k(root: str, split: str):
+    return mf.glob_records(
+        os.path.join(root, "images", split, "*.jpg"),
+        label_tpl=os.path.join(root, "annotations", split, "{id}.png"))
+
+
+class COCO(mf.ManifestLoader):
+    @staticmethod
+    def manifest(split: str, partition: str = "CocoStuff164k",
+                 warp_image: bool = True) -> mf.Manifest:
+        common = dict(num_classes=182, mean=MEAN, std=STD,
+                      palette=palette.COCO_palette)
         if partition == "CocoStuff10k":
-            dataset = CocoStuff10k(**kwargs)
-        elif partition == "CocoStuff164k":
-            dataset = CocoStuff164k(**kwargs)
-        else:
-            raise ValueError("Please choose either CocoStuff10k / CocoStuff164k")
-        super().__init__(dataset, batch_size, shuffle, num_workers,
-                         val_split or 0.0)
+            if split not in _SPLITS_10K:
+                raise mf.bad_split(split, "CocoStuff10k", _SPLITS_10K)
+            return mf.Manifest(records=_records_10k, read_label=_mat_label,
+                               post=_warp_513 if warp_image else None,
+                               **common)
+        if partition == "CocoStuff164k":
+            if split not in _SPLITS_164K:
+                raise mf.bad_split(split, "CocoStuff164k", _SPLITS_164K)
+            return mf.Manifest(records=_records_164k, read_label=_gray_png,
+                               **common)
+        raise ValueError(f"unknown COCO partition {partition!r} "
+                         f"(CocoStuff10k or CocoStuff164k)")

@@ -1,87 +1,35 @@
-"""DeepScene Freiburg Forest dataset: 7 classes, RGB color-mask labels
-decoded to ids via the palette.
-
-Parity: reference dataloaders/deepscene.py — palette->id decode (:19-24,
-:72-79), alphanumeric-sorted rgb/GT_color pairing (:31-49), ImageNet MEAN/STD.
+"""DeepScene Freiburg Forest, 6 classes + void: color-mask ground truth
+decoded to ids through the palette (reference dataloaders/deepscene.py).
+ImageNet normalization stats.
 """
 
 from __future__ import annotations
 
 import os
-import re
-
-import numpy as np
-from PIL import Image
 
 from segtpu import palette
-from segtpu.data.base import BaseDataset, DataLoader
+from segtpu.data import manifest as mf
 
 MEAN = [0.485, 0.456, 0.406]
 STD = [0.229, 0.224, 0.225]
 
-
-def _sorted_alphanumeric(data):
-    def convert(text):
-        return int(text) if text.isdigit() else text.lower()
-
-    return sorted(data, key=lambda key: [convert(c)
-                                         for c in re.split(r"([0-9]+)", key)])
+# the on-disk tree names its two halves train/ and test/
+_SPLIT_DIRS = {"training": "train", "validation": "test"}
 
 
-class DeepSceneDataset(BaseDataset):
-    def __init__(self, **kwargs):
-        self.num_classes = 7
-        self.palette = palette.DeepScene_palette
-        self.mask_mapping = {
-            tuple(self.palette[i:i + 3]): i // 3
-            for i in range(0, len(self.palette), 3)
-        }
-        self.images: list = []
-        self.targets: list = []
-        super().__init__(**kwargs)
-
-    def _gather(self, images_path, labels_path):
-        image_files = _sorted_alphanumeric(os.listdir(images_path))
-        label_files = _sorted_alphanumeric(os.listdir(labels_path))
-        if len(image_files) != len(label_files):
-            print("warning: images path has a different number of files than "
-                  "labels path")
-        return ([os.path.join(images_path, f) for f in image_files],
-                [os.path.join(labels_path, f) for f in label_files])
-
-    def _set_files(self):
-        if self.split == "training":
-            imgs, tgts = self._gather(os.path.join(self.root, "train/rgb"),
-                                      os.path.join(self.root, "train/GT_color"))
-        elif self.split == "validation":
-            imgs, tgts = self._gather(os.path.join(self.root, "test/rgb"),
-                                      os.path.join(self.root, "test/GT_color"))
-        else:
-            raise ValueError(f"Invalid split name {self.split}")
-        self.images.extend(imgs)
-        self.targets.extend(tgts)
-        self.files = self.images
-
-    def _load_data(self, index):
-        image = np.asarray(Image.open(self.images[index]).convert("RGB"),
-                           dtype=np.float32)
-        rgb = np.asarray(Image.open(self.targets[index]).convert("RGB"),
-                         dtype=np.int32)
-        target = np.zeros(rgb.shape[:2], dtype=np.int32)
-        for color, cls in self.mask_mapping.items():
-            target[(rgb == np.asarray(color)).all(axis=2)] = cls
-        return image, target, self.images[index]
+def _records(root: str, split: str):
+    sub = _SPLIT_DIRS[split]
+    return mf.paired_dir_records(os.path.join(root, sub, "rgb"),
+                                 os.path.join(root, sub, "GT_color"))
 
 
-class DeepScene(DataLoader):
-    def __init__(self, data_dir, batch_size, split, crop_size=None,
-                 base_size=None, scale=True, num_workers=1, val=False,
-                 shuffle=False, flip=False, rotate=False, blur=False,
-                 augment=False, val_split=None, return_id=False):
-        self.MEAN, self.STD = MEAN, STD
-        dataset = DeepSceneDataset(
-            root=data_dir, split=split, mean=MEAN, std=STD, augment=augment,
-            crop_size=crop_size, base_size=base_size, scale=scale, flip=flip,
-            blur=blur, rotate=rotate, return_id=return_id, val=val)
-        super().__init__(dataset, batch_size, shuffle, num_workers,
-                         val_split or 0.0)
+class DeepScene(mf.ManifestLoader):
+    @staticmethod
+    def manifest(split: str) -> mf.Manifest:
+        if split not in _SPLIT_DIRS:
+            raise mf.bad_split(split, "DeepScene", _SPLIT_DIRS)
+        return mf.Manifest(
+            num_classes=7, mean=MEAN, std=STD,
+            palette=palette.DeepScene_palette,
+            records=_records,
+            read_label=mf.rgb_mask_decoder(palette.DeepScene_palette))

@@ -1,87 +1,49 @@
-"""Pascal VOC 2012 (+SBD-augmented) datasets.
+"""Pascal VOC 2012 (+SBD-augmented), 21 classes.
 
-Parity: reference dataloaders/voc.py — VOCDataset (:15-40, ImageSets split
-files), VOCAugDataset (:42-66, paired path lists), split-name dispatch
-(:92-96), MEAN/STD (:73-74).
+Disk layout / split semantics match reference dataloaders/voc.py: plain
+splits read id lists from ImageSets/Segmentation and resolve
+JPEGImages/SegmentationClass; ``*_aug`` splits read "image label" path-pair
+lists rooted at VOCdevkit/VOC2012.
 """
 
 from __future__ import annotations
 
 import os
 
-import numpy as np
-from PIL import Image
-
 from segtpu import palette
-from segtpu.data.base import BaseDataset, DataLoader
+from segtpu.data import manifest as mf
 
 MEAN = [0.45734706, 0.43338275, 0.40058118]
 STD = [0.23965294, 0.23532275, 0.2398498]
 
-
-class VOCDataset(BaseDataset):
-    def __init__(self, **kwargs):
-        self.num_classes = 21
-        self.palette = palette.get_voc_palette(self.num_classes)
-        super().__init__(**kwargs)
-
-    def _set_files(self):
-        self.root = os.path.join(self.root, "VOCdevkit/VOC2012")
-        self.image_dir = os.path.join(self.root, "JPEGImages")
-        self.label_dir = os.path.join(self.root, "SegmentationClass")
-        file_list = os.path.join(self.root, "ImageSets/Segmentation",
-                                 self.split + ".txt")
-        self.files = [line.rstrip() for line in open(file_list)]
-
-    def _load_data(self, index):
-        image_id = self.files[index]
-        image = np.asarray(
-            Image.open(os.path.join(self.image_dir, image_id + ".jpg")),
-            dtype=np.float32)
-        label = np.asarray(
-            Image.open(os.path.join(self.label_dir, image_id + ".png")),
-            dtype=np.int32)
-        return image, label, image_id.split("/")[-1].split(".")[0]
+_PLAIN = {"train", "trainval", "val", "test"}
+_AUG = {"train_aug", "trainval_aug", "val_aug", "test_aug"}
 
 
-class VOCAugDataset(BaseDataset):
-    def __init__(self, **kwargs):
-        self.num_classes = 21
-        self.palette = palette.get_voc_palette(self.num_classes)
-        super().__init__(**kwargs)
-
-    def _set_files(self):
-        self.root = os.path.join(self.root, "VOCdevkit/VOC2012")
-        file_list = os.path.join(self.root, "ImageSets/Segmentation",
-                                 self.split + ".txt")
-        pairs = [line.rstrip().split(" ") for line in open(file_list)]
-        self.files, self.labels = list(zip(*pairs))
-
-    def _load_data(self, index):
-        image = np.asarray(
-            Image.open(os.path.join(self.root, self.files[index][1:])),
-            dtype=np.float32)
-        label = np.asarray(
-            Image.open(os.path.join(self.root, self.labels[index][1:])),
-            dtype=np.int32)
-        return image, label, self.files[index].split("/")[-1].split(".")[0]
+def _records(root: str, split: str):
+    base = os.path.join(root, "VOCdevkit/VOC2012")
+    lines = mf.read_list(
+        os.path.join(base, "ImageSets/Segmentation", f"{split}.txt"))
+    if split in _PLAIN:
+        return mf.id_records(
+            lines,
+            image_tpl=os.path.join(base, "JPEGImages", "{id}.jpg"),
+            label_tpl=os.path.join(base, "SegmentationClass", "{id}.png"))
+    # aug lists: "/img/x.jpg /cls/x.png" pairs relative to the VOC root
+    recs = []
+    for line in lines:
+        img, lbl = line.split()
+        recs.append(mf.Record(os.path.join(base, img.lstrip("/")),
+                              os.path.join(base, lbl.lstrip("/")),
+                              mf.stem(img)))
+    return recs
 
 
-class VOC(DataLoader):
-    def __init__(self, data_dir, batch_size, split, crop_size=None,
-                 base_size=None, scale=True, num_workers=1, val=False,
-                 shuffle=False, flip=False, rotate=False, blur=False,
-                 augment=False, val_split=None, return_id=False):
-        self.MEAN, self.STD = MEAN, STD
-        kwargs = dict(root=data_dir, split=split, mean=MEAN, std=STD,
-                      augment=augment, crop_size=crop_size,
-                      base_size=base_size, scale=scale, flip=flip, blur=blur,
-                      rotate=rotate, return_id=return_id, val=val)
-        if split in ["train_aug", "trainval_aug", "val_aug", "test_aug"]:
-            dataset = VOCAugDataset(**kwargs)
-        elif split in ["train", "trainval", "val", "test"]:
-            dataset = VOCDataset(**kwargs)
-        else:
-            raise ValueError(f"Invalid split name {split}")
-        super().__init__(dataset, batch_size, shuffle, num_workers,
-                         val_split or 0.0)
+class VOC(mf.ManifestLoader):
+    @staticmethod
+    def manifest(split: str) -> mf.Manifest:
+        if split not in _PLAIN | _AUG:
+            raise mf.bad_split(split, "VOC", _PLAIN | _AUG)
+        return mf.Manifest(num_classes=21, mean=MEAN, std=STD,
+                           palette=palette.get_voc_palette(21),
+                           records=_records)
