@@ -201,3 +201,25 @@ def test_lovasz_binned_matches_exact(rng):
     cos = float(jnp.sum(g1 * g2) /
                 (jnp.linalg.norm(g1) * jnp.linalg.norm(g2)))
     assert cos > 0.8, cos
+
+
+def test_lovasz_registry_dispatch(monkeypatch, rng):
+    """Config name 'LovaszSoftmax' routes to the binned form on TPU and the
+    exact form elsewhere; 'LovaszSoftmaxExact' always sorts."""
+    import jax
+
+    import segtpu.losses as L
+
+    logits = jnp.asarray(rng.normal(size=(2, 8, 8, 4)).astype(np.float32))
+    target = jnp.asarray(rng.integers(0, 4, size=(2, 8, 8)).astype(np.int32))
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    got_tpu = float(L.get_loss("LovaszSoftmax")(logits, target))
+    want_binned = float(L.lovasz_softmax_binned(logits, target))
+    assert got_tpu == want_binned
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    got_cpu = float(L.get_loss("LovaszSoftmax")(logits, target))
+    want_exact = float(L.lovasz_softmax(logits, target))
+    assert got_cpu == want_exact
+    assert float(L.get_loss("LovaszSoftmaxExact")(logits, target)) == want_exact
