@@ -6,8 +6,12 @@
         [--extension jpg]
 
 Loads an orbax checkpoint directory produced by train.py (the reference's
-.pth analog). The train-time loader is rebuilt only for MEAN/STD, palette and
-num_classes (reference inference.py:106-110).
+.pth analog). Unlike the reference (inference.py:106-110, which rebuilds the
+training loader and therefore needs the training DATASET on disk just to
+read MEAN/STD), the config is read from the checkpoint's own meta.json and
+the dataset stats come from the dataset's manifest without touching disk —
+a checkpoint directory plus an image directory is enough. ``--config`` is a
+fallback for checkpoints without embedded metadata.
 """
 
 import argparse
@@ -20,16 +24,44 @@ from PIL import Image
 from tqdm import tqdm
 
 
-def main():
-    args = parse_arguments()
+def resolve_config(args) -> dict:
+    """Prefer the config snapshotted inside the checkpoint (meta.json,
+    segtpu/checkpoint.py:30-32); fall back to --config."""
+    from segtpu.checkpoint import load_config_from_checkpoint
+
+    config = load_config_from_checkpoint(args.model)
+    if config is not None:
+        return config
     with open(args.config) as f:
-        config = json.load(f)
+        return json.load(f)
+
+
+def dataset_meta(config):
+    """(mean, std, palette, num_classes) WITHOUT the dataset on disk:
+    manifest-backed loaders expose their stats declaratively; in-memory
+    fixtures (Synthetic) are instantiated as before."""
+    from segtpu.data import DATASETS
+
+    loader_cfg = config["train_loader"]
+    cls = DATASETS[loader_cfg["type"]]
+    cfg_args = loader_cfg.get("args", {})
+    if hasattr(cls, "manifest"):
+        extra = {k: cfg_args[k] for k in ("mode", "partition", "warp_image")
+                 if k in cfg_args}
+        m = cls.manifest(split=cfg_args.get("split", "train"), **extra)
+        return m.mean, m.std, list(m.palette), m.num_classes
+    loader = cls(**cfg_args)
+    return (loader.MEAN, loader.STD, loader.dataset.palette,
+            loader.dataset.num_classes)
+
+
+def run(args):
+    config = resolve_config(args)
 
     import jax
     import jax.numpy as jnp
 
     from segtpu.checkpoint import load_model_weights
-    from segtpu.data import DATASETS
     from segtpu.inference_lib import (make_predictor, multi_scale_predict,
                                       sliding_predict)
     from segtpu.models import MODELS
@@ -39,11 +71,9 @@ def main():
     scales = ([0.75, 1.0, 1.25, 1.5, 1.75, 2.0, 2.25]
               if dataset_type == "CityScapes"
               else [0.75, 1.0, 1.25, 1.5, 1.75, 2.0])
-    loader = DATASETS[dataset_type](**config["train_loader"]["args"])
-    mean = np.asarray(loader.MEAN, np.float32)
-    std = np.asarray(loader.STD, np.float32)
-    num_classes = loader.dataset.num_classes
-    palette = loader.dataset.palette
+    mean, std, palette, num_classes = dataset_meta(config)
+    mean = np.asarray(mean, np.float32)
+    std = np.asarray(std, np.float32)
 
     model = MODELS[config["arch"]["type"]](
         num_classes=num_classes, **config["arch"]["args"])
@@ -73,10 +103,16 @@ def main():
             os.path.join(args.output, name + ".png"))
 
 
+def main():
+    run(parse_arguments())
+
+
 def parse_arguments():
     parser = argparse.ArgumentParser(description="Inference")
     parser.add_argument("-c", "--config", default="config.json", type=str,
-                        help="The config used to train the model")
+                        help="Fallback config if the checkpoint has no "
+                             "embedded meta.json (the training config is "
+                             "normally read from the checkpoint itself)")
     parser.add_argument("-mo", "--mode", default="multiscale", type=str,
                         help="Prediction mode: [multiscale, sliding, simple]")
     parser.add_argument("-m", "--model", default="best_model", type=str,

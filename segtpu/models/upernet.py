@@ -1,8 +1,9 @@
 """UperNet: FPN decode over the four ResNet stages + PSP on the last.
 
 Parity target: reference models/upernet.py:119-154 — torchvision ResNet
-backbone at full output-stride 32 (no surgery unless output_stride=8 is
-asked), PSPModule with bins [1,2,4,6] whose bottleneck keeps the input width
+backbone at output-stride 16 by default (layer4 dilated; output_stride=8
+additionally dilates layer3, reference models/upernet.py:60-76),
+PSPModule with bins [1,2,4,6] whose bottleneck keeps the input width
 (:12-38), FPN_fuse to fpn_out=256 (:92-117), 3x3 classifier head, final
 bilinear upsample WITHOUT align_corners (:143).
 """

@@ -242,15 +242,21 @@ class Trainer:
         if self.writer is not None:
             for k in ("Pixel_Accuracy", "Mean_IoU"):
                 self.writer.add_scalar(f"train/{k}", log[k], self.wrt_step)
-            lr0 = self._current_lr(epoch, iters_per_epoch)
-            self.writer.add_scalar("train/Learning_rate_0", lr0, self.wrt_step)
+            # one scalar per param group, like the reference
+            # (trainer.py:94-99): group 0 = decoder, group 1 = backbone
+            for i, lr in enumerate(self._current_lrs(epoch, iters_per_epoch)):
+                self.writer.add_scalar(f"train/Learning_rate_{i}", lr,
+                                       self.wrt_step)
         self.logger.info(
             f"TRAIN epoch {epoch} | loss {avg_loss:.3f} | "
             f"mIoU {log['Mean_IoU']:.3f} | PixAcc {log['Pixel_Accuracy']:.3f} | "
             f"B {batch_time.average:.2f}s D {data_time.average:.2f}s")
         return log
 
-    def _current_lr(self, epoch: int, iters_per_epoch: int) -> float:
+    def _current_lrs(self, epoch: int, iters_per_epoch: int):
+        """Per-group learning rates at this step: [decoder] or
+        [decoder, backbone*0.1] under differential LR (group order matches
+        reference base_trainer.py:52-56)."""
         from segtpu import schedules
 
         sched_cfg = self.config.get("lr_scheduler", {"type": "Poly", "args": {}})
@@ -264,7 +270,10 @@ class Trainer:
             lr_s = schedules.get_schedule(sched_cfg.get("type", "Poly"))(
                 base_lr, self.epochs, iters_per_epoch,
                 **sched_cfg.get("args", {}))
-        return float(lr_s(step))
+        lrs = [float(lr_s(step))]
+        if opt_cfg.get("differential_lr", True):
+            lrs.append(lrs[0] * 0.1)
+        return lrs
 
     # ------------------------------------------------------------------
     def _valid_epoch(self, epoch: int) -> Dict:

@@ -68,3 +68,65 @@ def test_bucketed_predictor_crops_back():
     assert yb.shape == ye.shape == (1, 50, 70, NC)
     # pointwise model: padding cannot leak, results identical
     np.testing.assert_allclose(yb, ye, rtol=1e-6, atol=1e-6)
+
+
+def test_inference_cli_without_dataset_on_disk(tmp_path):
+    """A checkpoint dir + an image dir is ALL the inference CLI needs: the
+    config comes from the checkpoint's meta.json and VOC's stats come from
+    its manifest — no VOCdevkit tree anywhere (the reference needs the
+    training dataset on disk, inference.py:106-110)."""
+    import argparse
+
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    import inference as inference_cli
+    from segtpu.checkpoint import save_checkpoint
+    from segtpu.core import create_train_state, make_optimizer
+    from segtpu.models import get_model
+
+    config = {
+        "name": "NoDiskRun",
+        "arch": {"type": "UNet", "args": {}},
+        "train_loader": {"type": "VOC",
+                         "args": {"data_dir": "/nonexistent", "batch_size": 2,
+                                  "split": "train", "crop_size": 64}},
+        "loss": "CrossEntropyLoss2d",
+        "trainer": {"epochs": 1},
+    }
+    model = get_model("UNet", num_classes=21)
+    tx = make_optimizer(lr=0.01, num_epochs=1, iters_per_epoch=1)
+    state = create_train_state(model, tx, jax.random.PRNGKey(0),
+                               jnp.zeros((1, 64, 64, 3), jnp.float32))
+    save_checkpoint(str(tmp_path), "best_model", state, 1, 0.0, config, "UNet")
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    Image.fromarray(rng.integers(0, 255, (40, 56, 3)).astype(np.uint8)).save(
+        img_dir / "a.jpg")
+
+    args = argparse.Namespace(
+        config=str(tmp_path / "does_not_exist.json"),  # must not be needed
+        model=str(tmp_path / "best_model"), images=str(img_dir),
+        output=str(tmp_path / "out"), mode="simple", extension="jpg",
+        bucket=None)
+    inference_cli.run(args)
+    assert (tmp_path / "out" / "a.png").exists()
+
+
+def test_dataset_meta_is_disk_free():
+    import inference as inference_cli
+
+    for t, extra, nc in (("VOC", {}, 21),
+                         ("CityScapes", {"mode": "fine"}, 19),
+                         ("ADE20K", {"split": "training"}, 150),
+                         ("COCO", {"partition": "CocoStuff10k"}, 182),
+                         ("DeepScene", {"split": "training"}, 7)):
+        cfg = {"train_loader": {
+            "type": t, "args": {"data_dir": "/nonexistent",
+                                "split": extra.pop("split", "train"),
+                                **extra}}}
+        mean, std, pal, num_classes = inference_cli.dataset_meta(cfg)
+        assert num_classes == nc and len(mean) == 3 and len(pal) >= nc * 3

@@ -120,3 +120,38 @@ def test_train_py_config_surface(tmp_path):
     config["use_synch_bn"] = False
     trainer = train_cli.main(config, resume=None)
     assert trainer.state is not None
+
+
+def test_per_group_lr_scalars_logged(tmp_path, monkeypatch):
+    """Both param groups' LRs land in tensorboard (reference trainer.py:94-99
+    logs Learning_rate_{i} per group; group 1 is the backbone at lr/10)."""
+    import tensorboardX
+
+    scalars = {}
+
+    class _FakeWriter:
+        def __init__(self, *a, **k):
+            pass
+
+        def add_scalar(self, tag, value, step):
+            scalars.setdefault(tag, []).append(float(value))
+
+        def add_image(self, *a, **k):
+            pass
+
+    monkeypatch.setattr(tensorboardX, "SummaryWriter", _FakeWriter)
+
+    config = _config(tmp_path, epochs=1)
+    config["trainer"]["tensorboard"] = True
+    config["trainer"]["progress_bar"] = False
+    train_loader, val_loader = _loaders()
+    model = get_model("UNet", num_classes=train_loader.dataset.num_classes)
+    trainer = Trainer(model=model, loss="CrossEntropyLoss2d", config=config,
+                      train_loader=train_loader, val_loader=val_loader,
+                      mesh=_small_mesh(), compute_dtype=jnp.float32)
+    trainer.train()
+
+    assert "train/Learning_rate_0" in scalars
+    assert "train/Learning_rate_1" in scalars
+    lr0, lr1 = scalars["train/Learning_rate_0"], scalars["train/Learning_rate_1"]
+    assert lr1[0] == pytest.approx(lr0[0] * 0.1)
