@@ -9,11 +9,21 @@ torchvision ToTensor+Normalize ((x/255 - mean)/std) — but output stays HWC
 float32 (NHWC batches are the TPU layout).
 
 Loader design (replaces torch DataLoader + the CUDA-stream DataPrefetcher,
-reference base/base_dataloader.py): a thread pool decodes/augments samples,
+reference base/base_dataloader.py): a worker pool decodes/augments samples,
 batches are assembled into fixed static shapes (crop_size) so XLA compiles
 once, and the device prefetcher double-buffers ``device_put`` onto the mesh
 so H2D rides behind the previous step's compute — the TPU equivalent of the
 reference's side-stream prefetch.
+
+Workers come in two flavors (``worker_type``): ``"thread"`` (default — right
+for this 1-core sandbox, where cv2 releases the GIL inside its C kernels) and
+``"process"`` — fork-based worker processes for production TPU-VMs (~100
+cores), where PIL/JPEG decode and pure-python decode paths would serialize on
+one GIL (the reference gets this from torch DataLoader's worker processes,
+base/base_dataloader.py:7-22). Fork inheritance (not pickling) carries the
+dataset into the workers, so manifest closures need no special support;
+deterministic per-(seed, epoch, index) RNG makes both flavors produce
+bit-identical batches.
 """
 
 from __future__ import annotations
@@ -28,6 +38,23 @@ import cv2
 import numpy as np
 
 cv2.setNumThreads(0)
+
+# Datasets visible to forked worker processes. Registered at DataLoader
+# construction (always before that loader's pool forks), looked up by token
+# inside the child — fork inheritance instead of pickling.
+_FORK_DATASETS: dict = {}
+
+
+def _sample_rng(seed: int, epoch: int, idx: int, i: int) -> random.Random:
+    """Deterministic per-sample RNG: int-tuple hash is stable across
+    processes (PYTHONHASHSEED only salts strings)."""
+    return random.Random(hash((seed, epoch, idx, i)))
+
+
+def _process_fetch(args):
+    token, i, idx, seed, epoch = args
+    dataset = _FORK_DATASETS[token]
+    return dataset.get(int(idx), rng=_sample_rng(seed, epoch, int(idx), i))
 
 
 class BaseDataset:
@@ -177,13 +204,20 @@ class DataLoader:
     def __init__(self, dataset: BaseDataset, batch_size: int, shuffle: bool,
                  num_workers: int = 4, val_split: float = 0.0,
                  drop_last: Optional[bool] = None, seed: int = 0,
-                 indices: Optional[Sequence[int]] = None):
+                 indices: Optional[Sequence[int]] = None,
+                 worker_type: str = "thread"):
+        assert worker_type in ("thread", "process"), worker_type
         self.dataset = dataset
         self.batch_size = batch_size
         self.num_workers = max(1, num_workers)
         self.seed = seed
         self._epoch = 0
         self.val_split = val_split
+        self.worker_type = worker_type
+        self._pool = None
+        self._token = id(self)
+        if worker_type == "process":
+            _FORK_DATASETS[self._token] = dataset
 
         if indices is not None:
             self.indices = np.asarray(indices)
@@ -213,7 +247,7 @@ class DataLoader:
         # zero batches; the ragged tail is padded (masked via ignore labels)
         return DataLoader(self.dataset, self.batch_size, False,
                           self.num_workers, indices=self._val_indices,
-                          drop_last=False)
+                          drop_last=False, worker_type=self.worker_type)
 
     def __len__(self):
         n = len(self.indices)
@@ -221,25 +255,47 @@ class DataLoader:
             return n // self.batch_size
         return -(-n // self.batch_size)
 
+    def _ensure_process_pool(self):
+        if self._pool is None:
+            import multiprocessing as mp
+
+            # fork: children inherit _FORK_DATASETS; nothing is pickled.
+            self._pool = mp.get_context("fork").Pool(self.num_workers)
+        return self._pool
+
+    def close(self):
+        """Shut down worker processes (no-op for thread mode)."""
+        if self._pool is not None:
+            self._pool.terminate()
+            self._pool.join()
+            self._pool = None
+        _FORK_DATASETS.pop(self._token, None)
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         order = self.indices.copy()
         if self.shuffle:
             np.random.RandomState(self.seed + self._epoch).shuffle(order)
         self._epoch += 1
         bs = self.batch_size
+        epoch, seed = self._epoch, self.seed
 
         def fetch(args):
             i, idx = args
-            # deterministic per (seed, epoch, sample): int-tuple hash is
-            # stable across processes (PYTHONHASHSEED only salts strings)
-            rng = random.Random(hash((self.seed, self._epoch, int(idx), i)))
+            rng = _sample_rng(seed, epoch, int(idx), i)
             return self.dataset.get(int(idx), rng=rng)
 
         n_batches = len(self)
-        with ThreadPoolExecutor(self.num_workers) as pool:
+
+        def batches(mapper):
             for b in range(n_batches):
                 chunk = order[b * bs:(b + 1) * bs]
-                samples = list(pool.map(fetch, enumerate(chunk)))
+                samples = list(mapper(chunk))
                 images = np.stack([s[0] for s in samples])
                 labels = np.stack([s[1] for s in samples])
                 if len(samples) < bs:  # pad the ragged val tail
@@ -250,6 +306,17 @@ class DataLoader:
                         [labels, np.full((pad,) + labels.shape[1:], -100,
                                          labels.dtype)])
                 yield images, labels
+
+        if self.worker_type == "process":
+            pool = self._ensure_process_pool()
+            yield from batches(lambda chunk: pool.map(
+                _process_fetch,
+                [(self._token, i, int(idx), seed, epoch)
+                 for i, idx in enumerate(chunk)]))
+        else:
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                yield from batches(lambda chunk: pool.map(
+                    fetch, enumerate(chunk)))
 
 
 class DevicePrefetcher:

@@ -180,7 +180,8 @@ class ManifestLoader(DataLoader):
     def __init__(self, data_dir, batch_size, split, crop_size=None,
                  base_size=None, scale=True, num_workers=1, val=False,
                  shuffle=False, flip=False, rotate=False, blur=False,
-                 augment=False, val_split=None, return_id=False, **extra):
+                 augment=False, val_split=None, return_id=False,
+                 worker_type="thread", **extra):
         m = type(self).manifest(split=split, **extra)
         self.MEAN, self.STD = list(m.mean), list(m.std)
         dataset = ManifestDataset(
@@ -189,4 +190,4 @@ class ManifestLoader(DataLoader):
             scale=scale, flip=flip, rotate=rotate, blur=blur, val=val,
             return_id=return_id)
         super().__init__(dataset, batch_size, shuffle, num_workers,
-                         val_split or 0.0)
+                         val_split or 0.0, worker_type=worker_type)

@@ -118,3 +118,25 @@ def test_val_split_loader_keeps_ragged_tail():
     imgs, labels = batches[0]
     assert imgs.shape[0] == 8  # padded to the static batch
     assert (labels[7:] == -100).all()
+
+
+def test_process_workers_match_thread_workers():
+    """Fork-based worker processes (production TPU-VM path, reference
+    base_dataloader.py:7-22) produce bit-identical batches to the thread
+    pool: the per-(seed, epoch, index) RNG is process-stable."""
+    from segtpu.data import Synthetic
+
+    def make(worker_type):
+        return Synthetic(batch_size=4, size=8, num_classes=5, image_hw=48,
+                         crop_size=32, shuffle=True, augment=True,
+                         num_workers=2, worker_type=worker_type)
+
+    thread_loader = make("thread")
+    process_loader = make("process")
+    try:
+        for _ in range(2):  # two epochs: shuffle + rng advance identically
+            for (ti, tl), (pi, pl) in zip(thread_loader, process_loader):
+                np.testing.assert_array_equal(ti, pi)
+                np.testing.assert_array_equal(tl, pl)
+    finally:
+        process_loader.close()
