@@ -51,6 +51,16 @@ def run_bench():
             images_d, labels_d = shard_batch(mesh, (images, labels))
             key = jax.random.PRNGKey(1)
 
+            # XLA-counted FLOPs of the whole train step, for MFU
+            flops_per_step = 0.0
+            try:
+                ca = step.lower(state, images_d, labels_d,
+                                key).compile().cost_analysis()
+                ca = ca[0] if isinstance(ca, list) else ca
+                flops_per_step = float(ca.get("flops", 0.0))
+            except Exception:
+                pass
+
             # warmup / compile. NOTE: synchronization is a scalar D2H
             # transfer (float(loss)) — on the experimental remote-TPU
             # platform block_until_ready has been observed to return before
@@ -69,7 +79,10 @@ def run_bench():
                 raise RuntimeError(f"bogus timing: {dt:.4f}s for {n_steps} steps")
 
             imgs_per_sec_per_chip = (batch * n_steps) / dt / n_chips
-            return imgs_per_sec_per_chip, batch
+            # MFU against v5e bf16 peak (197 TFLOP/s/chip)
+            tflops = flops_per_step / (dt / n_steps) / 1e12 / n_chips
+            mfu = tflops / 197.0 if flops_per_step else 0.0
+            return imgs_per_sec_per_chip, batch, flops_per_step, mfu
         except Exception as e:  # OOM at this batch size -> try smaller
             last_err = e
             continue
@@ -78,12 +91,15 @@ def run_bench():
 
 def main():
     try:
-        value, batch = run_bench()
+        value, batch, flops, mfu = run_bench()
         print(json.dumps({
             "metric": f"pspnet_r50_cityscapes_{CROP}px_train_throughput",
             "value": round(value, 3),
             "unit": "imgs/sec/chip",
             "vs_baseline": round(value / V100_BASELINE_IMGS_PER_SEC, 3),
+            "batch": batch,
+            "tflops_per_step": round(flops / 1e12, 2),
+            "mfu": round(mfu, 3),
         }))
     except Exception as e:
         print(json.dumps({

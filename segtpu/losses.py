@@ -155,8 +155,7 @@ def lovasz_softmax(logits, target, ignore_index=255, per_image=False):
     return one_image(logits, target)
 
 
-def lovasz_softmax_binned(logits, target, ignore_index=255, bins=128,
-                          use_pallas=None):
+def lovasz_softmax_binned(logits, target, ignore_index=255, bins=128):
     """Histogram-binned Lovász-Softmax — the TPU-fast variant.
 
     The exact Lovász (above) sorts every class column of (P, C) errors;
@@ -168,15 +167,16 @@ def lovasz_softmax_binned(logits, target, ignore_index=255, bins=128,
     * cum_all(b) = #valid pixels with error >= t_b,
     * errsum(b)  = sum of errors in (t_b, t_{b-1}],
 
-    all computed as broadcast compare + reduce (fused by XLA — no gather,
-    no scatter, no sort). The Lovász extension's telescoping gradient is then
+    all computed as broadcast compare + einsum (no gather, no scatter, no
+    sort — see ops/lovasz_hist.py, which also carries a bucketize+one-hot
+    MXU variant). The Lovász extension's telescoping gradient is then
     evaluated at bin boundaries: loss_c = sum_b mean_err(b) * (J(b) - J(b-1)).
     Exact when every pixel in a bin shares one error value; otherwise the
     approximation error is bounded by the bin width (1/bins). Like the exact
     form, the threshold masks are treated as constants under autodiff (the
     sort permutation is detached in the reference too).
     """
-    from segtpu.ops.lovasz_kernel import histograms_reference, lovasz_histograms
+    from segtpu.ops.lovasz_hist import histograms_compare
 
     num_classes = logits.shape[-1]
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
@@ -186,20 +186,14 @@ def lovasz_softmax_binned(logits, target, ignore_index=255, bins=128,
              & (tflat < num_classes)).astype(jnp.float32)
     safe_t = jnp.where(valid > 0, tflat, 0)
 
-    # Prefix statistics at `bins` descending error thresholds 1 -> 1/bins:
-    # Pallas kernel on TPU (one VMEM pass over (P, C) with one-hot/valid/
-    # errors derived in kernel — segtpu/ops/lovasz_kernel.py), XLA
-    # compare+einsum elsewhere.
-    if use_pallas is None:
-        # Measured on v5e at Cityscapes shapes: the XLA compare+einsum path
-        # (447 ms/step full PSPNet train step) currently beats the Pallas
-        # kernel (578 ms); both beat the exact sort by ~7-9x. Keep XLA as
-        # the default and the kernel available for future tuning.
-        use_pallas = False
-    hist = (lovasz_histograms
-            if use_pallas and jax.default_backend() == "tpu"
-            else histograms_reference)
-    cum_fg, cum_all, cum_err = hist(probs, tflat, bins, ignore_index)
+    # Prefix statistics at `bins` descending error thresholds 1 -> 1/bins,
+    # as broadcast compare + einsum (segtpu/ops/lovasz_hist.py). In-step
+    # A/B on a v5e at Cityscapes shapes: 442 ms/step vs 492 ms for the
+    # bucketize+one-hot MXU form (which wins 68 vs 171 ms in isolation but
+    # loses fused into the full train step) and 578 ms for a hand-written
+    # Pallas kernel (removed; see git history).
+    cum_fg, cum_all, cum_err = histograms_compare(probs, tflat, bins,
+                                                  ignore_index)
 
     onehot = jax.nn.one_hot(safe_t, num_classes, dtype=jnp.float32)
     gts = jnp.einsum("p,pc->c", valid, onehot)  # per-class fg counts

@@ -1,16 +1,11 @@
-"""Pallas Lovász-histogram kernel vs the XLA reference (interpreter mode)."""
+"""MXU one-hot Lovász histograms vs the float32 compare reference."""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from segtpu.ops import lovasz_kernel as lk
-
-
-@pytest.fixture(autouse=True)
-def _interpret_mode(monkeypatch):
-    monkeypatch.setattr(lk, "INTERPRET", True)
+from segtpu.ops import lovasz_hist as lh
 
 
 def _data(rng, p=3000, c=7):
@@ -24,8 +19,8 @@ def _data(rng, p=3000, c=7):
 def test_forward_matches_reference(rng):
     probs, target = _data(rng)
     for bins in (64, 128):
-        got = lk.lovasz_histograms(probs, target, bins, 255)
-        want = lk.histograms_reference(probs, target, bins, 255)
+        got = lh.histograms_onehot(probs, target, bins, 255)
+        want = lh.histograms_compare(probs, target, bins, 255)
         for g, w, name in zip(got, want, ("cum_fg", "cum_all", "cum_err")):
             np.testing.assert_allclose(np.asarray(g), np.asarray(w),
                                        rtol=1e-5, atol=1e-3, err_msg=name)
@@ -35,11 +30,11 @@ def test_backward_matches_reference(rng):
     probs, target = _data(rng, p=2048)
 
     def loss_k(pr):
-        _, _, ce = lk.lovasz_histograms(pr, target, 64, 255)
+        _, _, ce = lh.histograms_onehot(pr, target, 64, 255)
         return jnp.sum(jnp.sin(ce * 0.01))
 
     def loss_r(pr):
-        _, _, ce = lk.histograms_reference(pr, target, 64, 255)
+        _, _, ce = lh.histograms_compare(pr, target, 64, 255)
         return jnp.sum(jnp.sin(ce * 0.01))
 
     gk = jax.grad(loss_k)(probs)
@@ -48,13 +43,19 @@ def test_backward_matches_reference(rng):
                                rtol=1e-4, atol=1e-6)
 
 
-def test_unaligned_p_is_masked_correctly(rng):
-    probs, target = _data(rng, p=1537)  # not a multiple of the tile
-    got = lk.lovasz_histograms(probs, target, 64, 255)
-    want = lk.histograms_reference(probs, target, 64, 255)
+def test_boundary_errors_bucketized_like_compare(rng):
+    """Errors landing EXACTLY on a threshold must fall in the same bin as
+    the >= compare (err = 1.0 from saturated probs, err = 0 from ignored
+    pixels)."""
+    c = 4
+    probs = jnp.asarray([[1.0, 0.0, 0.0, 0.0],    # err[0]=0 for y=0
+                         [0.0, 1.0, 0.0, 0.0],    # err[0]=1 for y=0
+                         [0.25, 0.25, 0.25, 0.25]], jnp.float32)
+    target = jnp.asarray([0, 0, 255], jnp.int32)
+    got = lh.histograms_onehot(probs, target, 64, 255)
+    want = lh.histograms_compare(probs, target, 64, 255)
     for g, w in zip(got, want):
-        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
-                                   rtol=1e-5, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=1e-6)
 
 
 def test_negative_ignore_index(rng):
@@ -62,8 +63,8 @@ def test_negative_ignore_index(rng):
     target = np.asarray(target).copy()
     target[target == 255] = -1
     target = jnp.asarray(target)
-    got = lk.lovasz_histograms(probs, target, 64, -1)
-    want = lk.histograms_reference(probs, target, 64, -1)
+    got = lh.histograms_onehot(probs, target, 64, -1)
+    want = lh.histograms_compare(probs, target, 64, -1)
     for g, w in zip(got, want):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w),
                                    rtol=1e-5, atol=1e-3)
