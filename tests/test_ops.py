@@ -54,6 +54,17 @@ def test_adaptive_avg_pool_matches_torch(rng, out_size):
     np.testing.assert_allclose(got, _nhwc(ref), rtol=1e-5, atol=1e-6)
 
 
+def test_adaptive_avg_pool_multi_matches_single(rng):
+    """The fused read-once PSP pooling equals per-branch pooling exactly."""
+    x = jnp.asarray(rng.standard_normal((2, 19, 23, 5)).astype(np.float32))
+    sizes = (1, 2, 3, 6)
+    multi = ops.pooling.adaptive_avg_pool_multi(x, sizes)
+    for s, got in zip(sizes, multi):
+        want = ops.adaptive_avg_pool(x, s)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-6, atol=1e-6)
+
+
 def test_avg_pool_matches_torch(rng):
     x = rng.standard_normal((2, 3, 16, 16)).astype(np.float32)
     ref = F.avg_pool2d(torch.from_numpy(x), 2, 2).numpy()
