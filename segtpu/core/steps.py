@@ -26,6 +26,24 @@ from segtpu.metrics import SegStats, seg_stats
 from segtpu.core.mesh import batch_sharding, replicated_sharding
 
 
+def _prep_images(images, norm_stats, compute_dtype):
+    """Device-side ToTensor+Normalize for uint8-transport batches.
+
+    With ``norm_stats=(mean, std)`` the loader ships raw uint8 pixels (4x
+    less H2D than host-normalized float32) and the step applies the
+    reference's transforms.Normalize(ToTensor(x)) = (x/255 - mean)/std
+    (reference base/base_dataset.py:28-29,133) in float32 — the identical
+    arithmetic the host path does, so the two transports produce the same
+    batches bit-for-bit. XLA fuses the normalize into the first conv's
+    input chain."""
+    if norm_stats is not None:
+        mean, std = norm_stats
+        x = images.astype(jnp.float32) / 255.0
+        x = (x - jnp.asarray(mean, jnp.float32)) / jnp.asarray(std, jnp.float32)
+        return x.astype(compute_dtype)
+    return images.astype(compute_dtype)
+
+
 def make_train_step(
     model,
     loss_fn: Callable,
@@ -36,6 +54,7 @@ def make_train_step(
     mesh=None,
     remat: bool = False,
     spatial: bool = False,
+    norm_stats=None,
 ):
     """Returns step(state, images, labels, rng) -> (state, loss, SegStats).
 
@@ -61,7 +80,7 @@ def make_train_step(
         def forward(params):
             return model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
-                images.astype(compute_dtype),
+                _prep_images(images, norm_stats, compute_dtype),
                 train=True,
                 rngs={"dropout": dropout_rng},
                 mutable=["batch_stats"],
@@ -108,13 +127,14 @@ def make_eval_step(
     mesh=None,
     return_logits: bool = False,
     spatial: bool = False,
+    norm_stats=None,
 ):
     """Returns step(state, images, labels) -> (loss, SegStats[, logits])."""
 
     def step(state, images, labels):
         outputs = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
-            images.astype(compute_dtype),
+            _prep_images(images, norm_stats, compute_dtype),
             train=False,
         )
         logits = outputs["out"]

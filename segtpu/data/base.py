@@ -65,7 +65,7 @@ class BaseDataset:
 
     def __init__(self, root, split, mean, std, base_size=None, augment=True,
                  val=False, crop_size=321, scale=True, flip=True, rotate=False,
-                 blur=False, return_id=False):
+                 blur=False, return_id=False, device_normalize=False):
         self.root = root
         self.split = split
         self.mean = np.asarray(mean, np.float32)
@@ -79,6 +79,7 @@ class BaseDataset:
         self.blur = blur
         self.val = val
         self.return_id = return_id
+        self.device_normalize = device_normalize
         self.files: List = []
         self._set_files()
 
@@ -175,7 +176,8 @@ class BaseDataset:
         return len(self.files)
 
     def get(self, index: int, rng: Optional[random.Random] = None):
-        """(image HWC float32 normalized, label HW int32[, id])."""
+        """(image HWC float32 normalized — or HWC uint8 raw pixels when
+        ``device_normalize`` is set — label HW int32[, id])."""
         image, label, image_id = self._load_data(index)
         label = np.asarray(label, np.int32)
         if self.val:
@@ -183,7 +185,14 @@ class BaseDataset:
         elif self.augment:
             image, label = self._train_augmentation(image, label,
                                                     rng or random)
-        image = self.normalize(np.asarray(image, np.float32))
+        # The reference quantizes the augmented image to uint8 before
+        # ToTensor (base/base_dataset.py:133: Image.fromarray(np.uint8(x)))
+        # — reproduce that exactly. With device_normalize the uint8 pixels
+        # ship to the device as-is (4x less H2D) and the jitted step applies
+        # (x/255 - mean)/std; see segtpu/core/steps.py::_prep_images.
+        image = np.asarray(image, np.float32).astype(np.uint8)
+        if not self.device_normalize:
+            image = self.normalize(image)
         if self.return_id:
             return image, label, image_id
         return image, label

@@ -181,13 +181,13 @@ class ManifestLoader(DataLoader):
                  base_size=None, scale=True, num_workers=1, val=False,
                  shuffle=False, flip=False, rotate=False, blur=False,
                  augment=False, val_split=None, return_id=False,
-                 worker_type="thread", **extra):
+                 worker_type="thread", device_normalize=False, **extra):
         m = type(self).manifest(split=split, **extra)
         self.MEAN, self.STD = list(m.mean), list(m.std)
         dataset = ManifestDataset(
             m, root=data_dir, split=split, mean=self.MEAN, std=self.STD,
             augment=augment, crop_size=crop_size, base_size=base_size,
             scale=scale, flip=flip, rotate=rotate, blur=blur, val=val,
-            return_id=return_id)
+            return_id=return_id, device_normalize=device_normalize)
         super().__init__(dataset, batch_size, shuffle, num_workers,
                          val_split or 0.0, worker_type=worker_type)

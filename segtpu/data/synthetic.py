@@ -51,13 +51,14 @@ class Synthetic(DataLoader):
                  crop_size=64, base_size=None, scale=False, num_workers=1,
                  val=False, shuffle=True, flip=False, rotate=False,
                  blur=False, augment=True, val_split=None, return_id=False,
-                 num_classes=8, size=64, image_hw=96, worker_type="thread"):
+                 num_classes=8, size=64, image_hw=96, worker_type="thread",
+                 device_normalize=False):
         self.MEAN, self.STD = MEAN, STD
         dataset = SyntheticDataset(
             num_classes=num_classes, size=size, image_hw=image_hw,
             root=data_dir or "", split=split, mean=MEAN, std=STD,
             augment=augment, crop_size=crop_size, base_size=base_size,
             scale=scale, flip=flip, blur=blur, rotate=rotate,
-            return_id=return_id, val=val)
+            return_id=return_id, val=val, device_normalize=device_normalize)
         super().__init__(dataset, batch_size, shuffle, num_workers,
                          val_split or 0.0, worker_type=worker_type)

@@ -57,6 +57,10 @@ class Trainer:
         self.loss_fn = loss_lib.get_loss(loss) if isinstance(loss, str) else loss
 
         cfg_trainer = config["trainer"]
+        # TPU knob beyond the reference schema: trainer.compute_dtype
+        # ("bfloat16" default / "float32") selects the activation dtype.
+        if "compute_dtype" in cfg_trainer:
+            compute_dtype = jnp.dtype(cfg_trainer["compute_dtype"])
         self.epochs = cfg_trainer["epochs"]
         self.save_period = cfg_trainer.get("save_period", 10)
         self.do_validation = cfg_trainer.get("val", True) and val_loader is not None
@@ -93,14 +97,20 @@ class Trainer:
         from segtpu.pretrained import maybe_load_pretrained
 
         self.state = maybe_load_pretrained(self.state, self.model, config)
+        # uint8 transport: loaders built with device_normalize ship raw
+        # uint8 pixels and the step normalizes on device (steps.py).
+        self.norm_stats = (
+            (train_loader.dataset.mean, train_loader.dataset.std)
+            if getattr(train_loader.dataset, "device_normalize", False)
+            else None)
         self.train_step = make_train_step(
             self.model, self.loss_fn, self.num_classes,
             ignore_index=self.ignore_index, mesh=self.mesh,
-            compute_dtype=compute_dtype)
+            compute_dtype=compute_dtype, norm_stats=self.norm_stats)
         self.eval_step = make_eval_step(
             self.model, self.loss_fn, self.num_classes,
             ignore_index=self.ignore_index, mesh=self.mesh,
-            compute_dtype=compute_dtype)
+            compute_dtype=compute_dtype, norm_stats=self.norm_stats)
         self.compute_dtype = compute_dtype
         self.rng = jax.random.PRNGKey(config.get("seed", 0) + 1)
 
@@ -293,7 +303,8 @@ class Trainer:
                     eval_step_logits = make_eval_step(
                         self.model, self.loss_fn, self.num_classes,
                         ignore_index=self.ignore_index, mesh=self.mesh,
-                        compute_dtype=self.compute_dtype, return_logits=True)
+                        compute_dtype=self.compute_dtype, return_logits=True,
+                        norm_stats=self.norm_stats)
                 loss, stats, logits = eval_step_logits(self.state, images,
                                                        labels)
                 pred = np.asarray(jnp.argmax(logits[:1], -1))[0]
@@ -337,7 +348,10 @@ class Trainer:
         ds = self.val_loader.dataset
         rows = []
         for img, tgt, pred in viz:
-            rgb = denormalize(img, ds.mean, ds.std)
+            if img.dtype == np.uint8:  # uint8 transport: pixels are raw
+                rgb = img.astype(np.float32) / 255.0
+            else:
+                rgb = denormalize(img, ds.mean, ds.std)
             tgt_rgb = np.asarray(
                 colorize_mask(np.where(tgt < 0, 255, tgt), ds.palette)
                 .convert("RGB"), np.float32) / 255.0

@@ -34,11 +34,31 @@ def test_val_augmentation_center_crop():
 
 
 def test_normalization():
+    """get() quantizes the augmented image to uint8 before normalizing —
+    exactly the reference's Image.fromarray(np.uint8(x)) + ToTensor
+    (base/base_dataset.py:133)."""
     ds = _make_ds(augment=False, crop_size=None)
     img, _ = ds.get(0)
     raw, _, _ = ds._load_data(0)
+    q = np.asarray(raw, np.float32).astype(np.uint8).astype(np.float32)
     np.testing.assert_allclose(
-        img, (raw / 255.0 - 0.5) / 0.25, rtol=1e-5, atol=1e-5)
+        img, (q / 255.0 - 0.5) / 0.25, rtol=1e-5, atol=1e-5)
+
+
+def test_device_normalize_transport_equivalence():
+    """uint8 transport + device-side normalize produces bit-identical
+    normalized tensors to the host path."""
+    import jax.numpy as jnp
+    from segtpu.core.steps import _prep_images
+
+    host_ds = _make_ds(augment=False, crop_size=None)
+    dev_ds = _make_ds(augment=False, crop_size=None, device_normalize=True)
+    host_img, _ = host_ds.get(0)
+    dev_img, _ = dev_ds.get(0)
+    assert dev_img.dtype == np.uint8
+    on_device = _prep_images(jnp.asarray(dev_img),
+                             (host_ds.mean, host_ds.std), jnp.float32)
+    np.testing.assert_array_equal(np.asarray(on_device), host_img)
 
 
 def test_loader_batches_and_drop_last():

@@ -155,3 +155,24 @@ def test_per_group_lr_scalars_logged(tmp_path, monkeypatch):
     assert "train/Learning_rate_1" in scalars
     lr0, lr1 = scalars["train/Learning_rate_0"], scalars["train/Learning_rate_1"]
     assert lr1[0] == pytest.approx(lr0[0] * 0.1)
+
+
+def test_compute_dtype_knob_and_uint8_transport(tmp_path):
+    """trainer.compute_dtype config knob + device_normalize loaders (uint8
+    H2D transport with on-device ToTensor/Normalize) train end-to-end."""
+    config = _config(tmp_path, epochs=1)
+    config["trainer"]["compute_dtype"] = "float32"
+    train = Synthetic(batch_size=8, size=16, num_classes=6, image_hw=72,
+                      crop_size=64, shuffle=True, device_normalize=True)
+    val = Synthetic(batch_size=8, size=8, num_classes=6, image_hw=72,
+                    crop_size=64, split="val", val=True, augment=False,
+                    shuffle=False, device_normalize=True)
+    trainer = Trainer(model=get_model("UNet", num_classes=6), config=config,
+                      loss="CrossEntropyLoss2d", train_loader=train,
+                      val_loader=val, train_logger=Logger(),
+                      mesh=_small_mesh())
+    assert trainer.compute_dtype == jnp.float32
+    assert trainer.norm_stats is not None
+    trainer.train()
+    entry = list(trainer.train_logger.entries.values())[-1]
+    assert math.isfinite(entry["val_loss"])
