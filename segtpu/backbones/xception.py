@@ -39,9 +39,17 @@ class XceptionBlock(nn.Module):
         else:
             plan = [(self.features, 1), (self.features, 1), (self.features, self.stride)]
 
-        y = x
+        # Reference quirk reproduced bug-for-bug: Block.rep[0] is
+        # nn.ReLU(inplace=True), which MUTATES the block input before the
+        # skip branch reads it (reference models/deeplabv3_plus.py:122-126:
+        # ``output = self.rep(x)`` then ``skip = self.skip(x)`` / ``skip =
+        # x``). So whenever the stack has a leading ReLU, the residual /
+        # skip-conv input is relu(x), not x — including the middle flow's
+        # identity branch.
+        h = nn.relu(x) if self.use_first_relu else x
+        y = h
         for i, (feat, stride) in enumerate(plan):
-            if i > 0 or self.use_first_relu:
+            if i > 0:
                 y = nn.relu(y)
             y = SeparableConv(feat, 3, stride=stride, dilation=self.dilation,
                               kernel_init=kaiming_normal_init,
@@ -50,10 +58,10 @@ class XceptionBlock(nn.Module):
 
         if in_ch != self.features or self.stride != 1:
             skip = Conv(self.features, 1, self.stride, use_bias=False,
-                        kernel_init=kaiming_normal_init, name="skip_conv")(x)
+                        kernel_init=kaiming_normal_init, name="skip_conv")(h)
             skip = BatchNorm(name="skip_bn")(skip, use_running_average=not train)
         else:
-            skip = x
+            skip = h
         return y + skip
 
 

@@ -411,6 +411,49 @@ def convert_pspnet(state_dict: Dict, arch: str = "resnet50") -> Tuple[Dict, Dict
     return params, stats
 
 
+def convert_deeplab_xception(state_dict: Dict) -> Tuple[Dict, Dict]:
+    """Reference DeepLabV3+ with the inline Xception backbone
+    (models/deeplabv3_plus.py:336-377) -> segtpu DeepLab variables.
+
+    Backbone keys re-use convert_xception; the head maps ASSP
+    (models/deeplabv3_plus.py:260-297: 4 Sequential branches + avg_pool +
+    1x1 project) and Decoder (:303-330: 48-ch low-level projection + the
+    ``output`` Sequential with convs at 0/3 and the biased classifier at 7).
+    """
+    sd = dict(state_dict)
+    bb = {k[len("backbone."):]: v for k, v in sd.items()
+          if k.startswith("backbone.")}
+    bparams, bstats = convert_xception(bb)
+    params: Dict = {"backbone": bparams}
+    stats: Dict = {"backbone": bstats}
+
+    ap: Dict = {}
+    asr: Dict = {}
+    for i in range(1, 5):
+        ap[f"aspp{i}_conv"] = {"kernel": _conv(sd[f"ASSP.aspp{i}.0.weight"])}
+        ap[f"aspp{i}_bn"], asr[f"aspp{i}_bn"] = _bn(sd, f"ASSP.aspp{i}.1")
+    ap["pool_conv"] = {"kernel": _conv(sd["ASSP.avg_pool.1.weight"])}
+    ap["pool_bn"], asr["pool_bn"] = _bn(sd, "ASSP.avg_pool.2")
+    ap["project_conv"] = {"kernel": _conv(sd["ASSP.conv1.weight"])}
+    ap["project_bn"], asr["project_bn"] = _bn(sd, "ASSP.bn1")
+    params["aspp"] = ap
+    stats["aspp"] = asr
+
+    dp: Dict = {}
+    ds: Dict = {}
+    dp["ll_conv"] = {"kernel": _conv(sd["decoder.conv1.weight"])}
+    dp["ll_bn"], ds["ll_bn"] = _bn(sd, "decoder.bn1")
+    dp["conv1"] = {"kernel": _conv(sd["decoder.output.0.weight"])}
+    dp["bn1"], ds["bn1"] = _bn(sd, "decoder.output.1")
+    dp["conv2"] = {"kernel": _conv(sd["decoder.output.3.weight"])}
+    dp["bn2"], ds["bn2"] = _bn(sd, "decoder.output.4")
+    dp["classifier"] = {"kernel": _conv(sd["decoder.output.7.weight"]),
+                        "bias": _vec(sd["decoder.output.7.bias"])}
+    params["decoder"] = dp
+    stats["decoder"] = ds
+    return params, stats
+
+
 CONVERTERS = {
     "resnet": convert_resnet,
     "vgg16": convert_vgg16,
@@ -421,4 +464,5 @@ MODEL_CONVERTERS = {
     "UNet": convert_unet,
     "ENet": convert_enet,
     "PSPNet": convert_pspnet,
+    "DeepLab": convert_deeplab_xception,
 }

@@ -125,6 +125,18 @@ def test_pspnet_full_model_parity(ref):
     _compare(ref_model, seg_model, wc.convert_pspnet, atol=5e-4)
 
 
+def test_deeplab_xception_full_model_parity(ref):
+    """Reference DeepLabV3+ with its inline (torchvision-free) Xception
+    backbone (models/deeplabv3_plus.py:336-377, pretrained=False)."""
+    torch.manual_seed(0)
+    ref_model = ref.DeepLab(num_classes=7, backbone="xception",
+                            pretrained=False, output_stride=16)
+    seg_model = get_model("DeepLab", num_classes=7, backbone="xception",
+                          output_stride=16)
+    # 70+ convs deep; fp32 error accumulates like PSPNet's
+    _compare(ref_model, seg_model, wc.convert_deeplab_xception, atol=5e-4)
+
+
 def test_convert_resnet_against_real_torch_keys(ref):
     """The backbone converter consumed by pretrained loading, validated
     against REAL torch state_dicts (reference models/resnet.py — both the
