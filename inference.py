@@ -37,22 +37,11 @@ def resolve_config(args) -> dict:
 
 
 def dataset_meta(config):
-    """(mean, std, palette, num_classes) WITHOUT the dataset on disk:
-    manifest-backed loaders expose their stats declaratively; in-memory
-    fixtures (Synthetic) are instantiated as before."""
-    from segtpu.data import DATASETS
+    """(mean, std, palette, num_classes) WITHOUT the dataset on disk —
+    shared with the serving exporter (segtpu/data/__init__.py)."""
+    from segtpu.data import dataset_meta as _meta
 
-    loader_cfg = config["train_loader"]
-    cls = DATASETS[loader_cfg["type"]]
-    cfg_args = loader_cfg.get("args", {})
-    if hasattr(cls, "manifest"):
-        extra = {k: cfg_args[k] for k in ("mode", "partition", "warp_image")
-                 if k in cfg_args}
-        m = cls.manifest(split=cfg_args.get("split", "train"), **extra)
-        return m.mean, m.std, list(m.palette), m.num_classes
-    loader = cls(**cfg_args)
-    return (loader.MEAN, loader.STD, loader.dataset.palette,
-            loader.dataset.num_classes)
+    return _meta(config)
 
 
 def run(args):
