@@ -20,16 +20,23 @@ _META = "meta.json"
 
 
 def save_checkpoint(directory: str, name: str, state, epoch: int,
-                    monitor_best: float, config: Dict, arch: str):
+                    monitor_best: float, config: Dict, arch: str,
+                    extra_meta: Optional[Dict] = None):
+    """``extra_meta`` extends meta.json — used by mid-epoch (step-level)
+    checkpoints to record ``resume_epoch``/``resume_iter`` (preemption
+    recovery beyond the reference's epoch-granular saves, SURVEY §5.3)."""
     path = os.path.abspath(os.path.join(directory, name))
     ckptr = ocp.StandardCheckpointer()
     tree = {"params": state.params, "batch_stats": state.batch_stats,
             "opt_state": state.opt_state, "step": state.step}
     ckptr.save(path, tree, force=True)
     ckptr.wait_until_finished()
+    meta = {"epoch": epoch, "monitor_best": float(monitor_best),
+            "config": config, "arch": arch}
+    if extra_meta:
+        meta.update(extra_meta)
     with open(os.path.join(path, _META), "w") as f:
-        json.dump({"epoch": epoch, "monitor_best": float(monitor_best),
-                   "config": config, "arch": arch}, f, indent=2, default=str)
+        json.dump(meta, f, indent=2, default=str)
 
 
 def load_checkpoint(path: str, state) -> Tuple[Any, Dict]:

@@ -286,6 +286,19 @@ class DataLoader:
         except Exception:
             pass
 
+    def set_epoch(self, n: int):
+        """Position the deterministic shuffle stream so the NEXT ``__iter__``
+        reproduces training epoch ``n+1``'s order — the mid-epoch resume
+        hook (a fresh process starts at 0)."""
+        self._epoch = n
+
+    def skip_batches(self, k: int):
+        """The next ``__iter__`` skips its first ``k`` batches (no fetch
+        cost) and yields the remainder of that epoch's deterministic order —
+        mid-epoch resume continues exactly where the interrupted run
+        stopped."""
+        self._skip_next = int(k)
+
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         order = self.indices.copy()
         if self.shuffle:
@@ -293,6 +306,8 @@ class DataLoader:
         self._epoch += 1
         bs = self.batch_size
         epoch, seed = self._epoch, self.seed
+        skip = getattr(self, "_skip_next", 0)
+        self._skip_next = 0
 
         def fetch(args):
             i, idx = args
@@ -302,7 +317,7 @@ class DataLoader:
         n_batches = len(self)
 
         def batches(mapper):
-            for b in range(n_batches):
+            for b in range(skip, n_batches):
                 chunk = order[b * bs:(b + 1) * bs]
                 samples = list(mapper(chunk))
                 images = np.stack([s[0] for s in samples])

@@ -63,6 +63,13 @@ class Trainer:
             compute_dtype = jnp.dtype(cfg_trainer["compute_dtype"])
         self.epochs = cfg_trainer["epochs"]
         self.save_period = cfg_trainer.get("save_period", 10)
+        # Step-level (mid-epoch) checkpointing for preemption recovery —
+        # beyond the reference's epoch-granular saves (SURVEY §5.3). Every N
+        # iters, "checkpoint-latest" is overwritten with the state plus
+        # resume_epoch/resume_iter; resuming from it replays the SAME
+        # deterministic epoch order from the interruption point.
+        self.save_per_iters = cfg_trainer.get("save_per_iters", 0)
+        self._resume_iter = 0
         self.do_validation = cfg_trainer.get("val", True) and val_loader is not None
         self.val_per_epochs = cfg_trainer.get("val_per_epochs", 1)
         self.log_per_iter = cfg_trainer.get("log_per_iter", 20)
@@ -201,6 +208,13 @@ class Trainer:
         n_iters = 0
         tic = time.time()
 
+        self._epoch_skip = 0
+        if self._resume_iter and epoch == self.start_epoch:
+            # mid-epoch resume: replay this epoch's deterministic order from
+            # the interruption point
+            self.train_loader.skip_batches(self._resume_iter)
+            self._epoch_skip = self._resume_iter
+            self._resume_iter = 0
         prefetcher = DevicePrefetcher(self.train_loader, self.mesh)
         iters_per_epoch = len(self.train_loader)
         profiling = self.profile_steps > 0 and epoch == self.start_epoch
@@ -224,12 +238,23 @@ class Trainer:
             total_stats = total_stats + stats
             loss_acc = loss_acc + loss
             n_iters += 1
+            it_abs = it + self._epoch_skip  # position in the epoch order
+            if (self.save_per_iters
+                    and (it_abs + 1) % self.save_per_iters == 0
+                    and it_abs + 1 < iters_per_epoch):
+                save_checkpoint(
+                    self.checkpoint_dir, "checkpoint-latest", self.state,
+                    epoch - 1,
+                    self.mnt_best if np.isfinite(self.mnt_best) else 0.0,
+                    self.config, type(self.model).__name__,
+                    extra_meta={"resume_epoch": epoch,
+                                "resume_iter": it_abs + 1})
             if (it + 1) % self.log_per_iter == 0:
                 # single host sync at the log boundary
                 jax.block_until_ready(loss)
                 loss_val = float(loss)
                 loss_meter.update(loss_val, self.log_per_iter)
-                self.wrt_step = (epoch - 1) * iters_per_epoch + it + 1
+                self.wrt_step = (epoch - 1) * iters_per_epoch + it_abs + 1
                 if self.writer is not None:
                     self.writer.add_scalar("train/loss", loss_val, self.wrt_step)
                 if bar is not None:
@@ -380,6 +405,15 @@ class Trainer:
         self.logger.info(f"Loading checkpoint : {resume_path}")
         self.state, meta = load_checkpoint(resume_path, self.state)
         self.start_epoch = meta.get("epoch", 0) + 1
+        if "resume_iter" in meta:  # mid-epoch (step-level) checkpoint
+            self.start_epoch = meta["resume_epoch"]
+            self._resume_iter = meta["resume_iter"]
+            self.logger.info(
+                f"Mid-epoch checkpoint: resuming epoch {self.start_epoch} "
+                f"at batch {self._resume_iter}")
+        # align the loader's deterministic shuffle stream with the epoch
+        # being resumed, so batch order matches an uninterrupted run
+        self.train_loader.set_epoch(self.start_epoch - 1)
         self.mnt_best = meta.get("monitor_best", self.mnt_best)
         self.not_improved_count = 0
         ck_cfg = meta.get("config", {})

@@ -160,3 +160,19 @@ def test_process_workers_match_thread_workers():
                 np.testing.assert_array_equal(tl, pl)
     finally:
         process_loader.close()
+
+
+def test_loader_skip_batches_replays_same_order():
+    """Mid-epoch resume: set_epoch + skip_batches reproduces the exact tail
+    of an uninterrupted epoch (deterministic shuffle + per-sample RNG)."""
+    mk = lambda: Synthetic(batch_size=4, size=16, num_classes=6, image_hw=72,
+                           crop_size=64, shuffle=True)
+    full = [(img.copy(), lab.copy()) for img, lab in mk()]
+    resumed = mk()
+    resumed.set_epoch(0)
+    resumed.skip_batches(2)
+    tail = list(resumed)
+    assert len(tail) == len(full) - 2
+    for (fi, fl), (ti, tl) in zip(full[2:], tail):
+        np.testing.assert_array_equal(fi, ti)
+        np.testing.assert_array_equal(fl, tl)

@@ -25,7 +25,12 @@ REF = "/root/reference"
 
 def _setup_reference():
     if REF not in sys.path:
-        sys.path.insert(0, REF)
+        # APPEND, don't prepend: the repo root must keep winning name
+        # lookups (`import train` is segtpu's CLI; prepending made later
+        # tests import the reference's train.py instead). The reference's
+        # own module names (models, base, dataloaders) don't exist at the
+        # repo root, so appending resolves them fine.
+        sys.path.append(REF)
     if "torchvision" not in sys.modules:
         tv = types.ModuleType("torchvision")
         tr = types.ModuleType("torchvision.transforms")

@@ -176,3 +176,33 @@ def test_compute_dtype_knob_and_uint8_transport(tmp_path):
     trainer.train()
     entry = list(trainer.train_logger.entries.values())[-1]
     assert math.isfinite(entry["val_loss"])
+
+
+def test_mid_epoch_checkpoint_and_resume(tmp_path):
+    """save_per_iters writes checkpoint-latest mid-epoch; resuming from it
+    replays the epoch's remaining batches (total optimizer steps match an
+    uninterrupted run)."""
+    config = _config(tmp_path, epochs=1)
+    config["trainer"]["save_per_iters"] = 1
+    train, val = _loaders()  # 24 samples / bs 8 = 3 batches
+    trainer = Trainer(model=get_model("UNet", num_classes=6), config=config,
+                      loss="CrossEntropyLoss2d", train_loader=train,
+                      val_loader=val, train_logger=Logger(),
+                      mesh=_small_mesh(), compute_dtype=jnp.float32)
+    trainer.train()
+    assert int(trainer.state.step) == 3
+    latest = os.path.join(trainer.checkpoint_dir, "checkpoint-latest")
+    assert os.path.exists(latest)
+    meta = json.load(open(os.path.join(latest, "meta.json")))
+    assert meta["resume_epoch"] == 1 and meta["resume_iter"] == 2
+
+    train2, val2 = _loaders()
+    trainer2 = Trainer(model=get_model("UNet", num_classes=6), config=config,
+                       loss="CrossEntropyLoss2d", train_loader=train2,
+                       val_loader=val2, train_logger=Logger(),
+                       mesh=_small_mesh(), compute_dtype=jnp.float32,
+                       resume=latest)
+    assert trainer2.start_epoch == 1 and trainer2._resume_iter == 2
+    trainer2.train()
+    # 2 steps restored + 1 remaining batch of epoch 1
+    assert int(trainer2.state.step) == 3
