@@ -51,7 +51,11 @@ def run_bench():
             images_d, labels_d = shard_batch(mesh, (images, labels))
             key = jax.random.PRNGKey(1)
 
-            # XLA-counted FLOPs of the whole train step, for MFU
+            # XLA-counted FLOPs of the whole train step, for MFU. NOTE:
+            # this costs a second XLA compilation (the AOT executable isn't
+            # reused by the later step(...) calls), but the pre-compile
+            # Lowered.cost_analysis() HANGS over the axon tunnel (observed
+            # 2026-08-17) — the compiled path is the one that works there.
             flops_per_step = 0.0
             try:
                 ca = step.lower(state, images_d, labels_d,

@@ -10,6 +10,7 @@ preemption-recovery story on TPU (SURVEY.md §5.3).
 from __future__ import annotations
 
 import json
+import math
 import os
 from typing import Any, Dict, Optional, Tuple
 
@@ -31,7 +32,12 @@ def save_checkpoint(directory: str, name: str, state, epoch: int,
             "opt_state": state.opt_state, "step": state.step}
     ckptr.save(path, tree, force=True)
     ckptr.wait_until_finished()
-    meta = {"epoch": epoch, "monitor_best": float(monitor_best),
+    # +/-inf means "no validation has run yet" (a min-monitor starts at
+    # +inf): store None so resume keeps its own fresh init instead of a
+    # bogus 0.0 that a 'min' monitor could never improve on.
+    mb = float(monitor_best)
+    meta = {"epoch": epoch,
+            "monitor_best": mb if math.isfinite(mb) else None,
             "config": config, "arch": arch}
     if extra_meta:
         meta.update(extra_meta)
@@ -75,37 +81,6 @@ def load_model_weights(path: str, params, batch_stats):
             path, args=ocp.args.PyTreeRestore(item=abstract,
                                               partial_restore=True))
     return restored["params"], restored["batch_stats"]
-
-
-def load_pretrained_backbone(state, path: str):
-    """Merge a converted backbone checkpoint (scripts/convert_weights.py)
-    into a TrainState: its params/batch_stats replace the model's
-    ``backbone`` scope. Replaces the reference's in-constructor pretrained
-    loads (e.g. models/resnet.py:239-306). Tree structure and every leaf
-    shape must match the model's backbone exactly."""
-    import jax.numpy as jnp
-    import numpy as np
-    import orbax.checkpoint as ocp
-
-    restored = ocp.StandardCheckpointer().restore(os.path.abspath(path))
-    bb_params, bb_stats = restored["params"], restored["batch_stats"]
-
-    def checked(old, new):
-        if np.shape(old) != np.shape(new):
-            raise ValueError(
-                f"backbone shape mismatch: {np.shape(old)} vs {np.shape(new)}")
-        return jnp.asarray(new)
-
-    if "backbone" not in state.params:
-        raise KeyError("model has no 'backbone' scope to load into")
-    new_params = dict(state.params)
-    new_params["backbone"] = jax.tree_util.tree_map(
-        checked, new_params["backbone"], bb_params)
-    new_stats = dict(state.batch_stats)
-    if bb_stats and "backbone" in new_stats:
-        new_stats["backbone"] = jax.tree_util.tree_map(
-            checked, new_stats["backbone"], bb_stats)
-    return state.replace(params=new_params, batch_stats=new_stats)
 
 
 def load_config_from_checkpoint(path: str) -> Optional[Dict]:

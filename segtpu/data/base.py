@@ -268,6 +268,9 @@ class DataLoader:
         if self._pool is None:
             import multiprocessing as mp
 
+            # (re-)register before forking: close() pops the token, and a
+            # later iteration must be able to rebuild the pool.
+            _FORK_DATASETS[self._token] = self.dataset
             # fork: children inherit _FORK_DATASETS; nothing is pickled.
             self._pool = mp.get_context("fork").Pool(self.num_workers)
         return self._pool

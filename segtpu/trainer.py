@@ -105,11 +105,20 @@ class Trainer:
 
         self.state = maybe_load_pretrained(self.state, self.model, config)
         # uint8 transport: loaders built with device_normalize ship raw
-        # uint8 pixels and the step normalizes on device (steps.py).
+        # uint8 pixels and the step normalizes on device (steps.py). The
+        # flag is baked into BOTH compiled steps, so train/val loaders must
+        # agree — a silent mismatch would double-normalize (or skip
+        # normalizing) every validation batch.
+        dev_norm = getattr(train_loader.dataset, "device_normalize", False)
+        if val_loader is not None and getattr(
+                val_loader.dataset, "device_normalize", False) != dev_norm:
+            raise ValueError(
+                "train_loader and val_loader disagree on device_normalize "
+                f"({dev_norm} vs {not dev_norm}); set it in BOTH loader "
+                "args (see MIGRATION.md)")
         self.norm_stats = (
             (train_loader.dataset.mean, train_loader.dataset.std)
-            if getattr(train_loader.dataset, "device_normalize", False)
-            else None)
+            if dev_norm else None)
         self.train_step = make_train_step(
             self.model, self.loss_fn, self.num_classes,
             ignore_index=self.ignore_index, mesh=self.mesh,
@@ -244,8 +253,7 @@ class Trainer:
                     and it_abs + 1 < iters_per_epoch):
                 save_checkpoint(
                     self.checkpoint_dir, "checkpoint-latest", self.state,
-                    epoch - 1,
-                    self.mnt_best if np.isfinite(self.mnt_best) else 0.0,
+                    epoch - 1, self.mnt_best,
                     self.config, type(self.model).__name__,
                     extra_meta={"resume_epoch": epoch,
                                 "resume_iter": it_abs + 1})
@@ -306,6 +314,12 @@ class Trainer:
                 base_lr, self.epochs, iters_per_epoch,
                 **sched_cfg.get("args", {}))
         lrs = [float(lr_s(step))]
+        # Reference parity (base_trainer.py:46-53, trainer.py:94-99): with
+        # differential_lr there are ALWAYS two param groups — group 1 is the
+        # backbone at 0.1x, logged even when the model has no backbone scope
+        # (empty group upstream) or the backbone is frozen (upstream filters
+        # the params but still logs the group's lr). Actual frozen-backbone
+        # updates are zero regardless (core/state.py: optax.set_to_zero).
         if opt_cfg.get("differential_lr", True):
             lrs.append(lrs[0] * 0.1)
         return lrs
@@ -393,8 +407,7 @@ class Trainer:
         name = f"checkpoint-epoch{epoch}"
         self.logger.info(f"\nSaving a checkpoint: {name} ...")
         save_checkpoint(self.checkpoint_dir, name, self.state, epoch,
-                        self.mnt_best if np.isfinite(self.mnt_best) else 0.0,
-                        self.config, type(self.model).__name__)
+                        self.mnt_best, self.config, type(self.model).__name__)
         if save_best:
             save_checkpoint(self.checkpoint_dir, "best_model", self.state,
                             epoch, self.mnt_best, self.config,
@@ -414,7 +427,9 @@ class Trainer:
         # align the loader's deterministic shuffle stream with the epoch
         # being resumed, so batch order matches an uninterrupted run
         self.train_loader.set_epoch(self.start_epoch - 1)
-        self.mnt_best = meta.get("monitor_best", self.mnt_best)
+        saved_best = meta.get("monitor_best")
+        if saved_best is not None:  # None = no validation had run yet
+            self.mnt_best = saved_best
         self.not_improved_count = 0
         ck_cfg = meta.get("config", {})
         if ck_cfg.get("arch") != self.config.get("arch"):

@@ -206,3 +206,28 @@ def test_mid_epoch_checkpoint_and_resume(tmp_path):
     trainer2.train()
     # 2 steps restored + 1 remaining batch of epoch 1
     assert int(trainer2.state.step) == 3
+
+
+def test_checkpoint_meta_preserves_unset_monitor(tmp_path):
+    """A +/-inf monitor_best (no validation yet) must round-trip as None so
+    a 'min'-monitor resume keeps its fresh +inf instead of a bogus 0.0 it
+    could never improve on."""
+    import types
+
+    from segtpu.checkpoint import save_checkpoint
+
+    model = get_model("UNet", num_classes=3)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(0)},
+        jnp.zeros((1, 32, 32, 3), jnp.float32), train=False)
+    state = types.SimpleNamespace(params=variables["params"],
+                                  batch_stats=variables.get("batch_stats", {}),
+                                  opt_state={}, step=jnp.zeros((), jnp.int32))
+    save_checkpoint(str(tmp_path), "ck", state, epoch=0,
+                    monitor_best=math.inf, config={}, arch="UNet")
+    meta = json.load(open(tmp_path / "ck" / "meta.json"))
+    assert meta["monitor_best"] is None
+    save_checkpoint(str(tmp_path), "ck2", state, epoch=1,
+                    monitor_best=0.37, config={}, arch="UNet")
+    meta2 = json.load(open(tmp_path / "ck2" / "meta.json"))
+    assert meta2["monitor_best"] == pytest.approx(0.37)

@@ -194,9 +194,9 @@ def test_load_pretrained_backbone_roundtrip(tmp_path):
     """convert -> save -> load into a PSPNet state."""
     import orbax.checkpoint as ocp
 
-    from segtpu.checkpoint import load_pretrained_backbone
     from segtpu.core import create_train_state, make_optimizer
     from segtpu.models import get_model
+    from segtpu.pretrained import apply_pretrained
 
     model = get_model("PSPNet", num_classes=5, backbone="resnet18",
                       use_aux=False)
@@ -213,7 +213,7 @@ def test_load_pretrained_backbone_roundtrip(tmp_path):
     ck.save(path, {"params": bb_p, "batch_stats": bb_s}, force=True)
     ck.wait_until_finished()
 
-    new_state = load_pretrained_backbone(state, path)
+    new_state = apply_pretrained(state, model, path)
     a = tu.flatten_dict(jax.tree_util.tree_map(np.asarray,
                                                new_state.params["backbone"]))
     b = tu.flatten_dict(bb_p)
