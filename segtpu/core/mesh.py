@@ -54,6 +54,19 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Device-put a host batch (pytree of np arrays) sharded over data."""
+    """Shard a host batch (pytree of np arrays) over the ``data`` axis.
+
+    Single-process (one host, N local chips): a plain sharded device_put.
+    Multi-process (TPU pod: one process per host, jax.distributed
+    initialized): each host loads only ITS slice of the global batch — the
+    per-process arrays are assembled into one global jax.Array with
+    ``make_array_from_process_local_data``, no cross-host data movement.
+    The loaders' deterministic seeding makes per-host disjoint loading a
+    matter of slicing ``DataLoader.indices`` by process index.
+    """
     sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda a: jax.make_array_from_process_local_data(sh, np.asarray(a)),
+            batch)
     return jax.tree_util.tree_map(lambda a: jax.device_put(a, sh), batch)

@@ -45,16 +45,19 @@ cv2.setNumThreads(0)
 _FORK_DATASETS: dict = {}
 
 
-def _sample_rng(seed: int, epoch: int, idx: int, i: int) -> random.Random:
+def _sample_rng(seed: int, epoch: int, idx: int) -> random.Random:
     """Deterministic per-sample RNG: int-tuple hash is stable across
-    processes (PYTHONHASHSEED only salts strings)."""
-    return random.Random(hash((seed, epoch, idx, i)))
+    processes (PYTHONHASHSEED only salts strings). Keyed on the SAMPLE
+    index only (unique within an epoch), not its batch position, so
+    augmentation is invariant to batch composition — thread/process
+    workers and any per-host pod sharding all see identical samples."""
+    return random.Random(hash((seed, epoch, idx)))
 
 
 def _process_fetch(args):
-    token, i, idx, seed, epoch = args
+    token, idx, seed, epoch = args
     dataset = _FORK_DATASETS[token]
-    return dataset.get(int(idx), rng=_sample_rng(seed, epoch, int(idx), i))
+    return dataset.get(int(idx), rng=_sample_rng(seed, epoch, int(idx)))
 
 
 class BaseDataset:
@@ -214,8 +217,26 @@ class DataLoader:
                  num_workers: int = 4, val_split: float = 0.0,
                  drop_last: Optional[bool] = None, seed: int = 0,
                  indices: Optional[Sequence[int]] = None,
-                 worker_type: str = "thread"):
+                 worker_type: str = "thread",
+                 num_shards: Optional[int] = None,
+                 shard_index: Optional[int] = None):
         assert worker_type in ("thread", "process"), worker_type
+        # Multi-host (pod) input sharding: each host process loads a
+        # disjoint slice of every epoch's shuffled order (all hosts shuffle
+        # with the same seed+epoch, then take shard_index::num_shards);
+        # core.mesh.shard_batch assembles the per-host batches into one
+        # global jax.Array. Defaults auto-wire from the jax distributed
+        # runtime so a config runs unchanged from 1 host to a pod —
+        # batch_size is the PER-HOST batch.
+        if num_shards is None:
+            import jax
+
+            num_shards = jax.process_count()
+            shard_index = jax.process_index()
+        self.num_shards = num_shards
+        self.shard_index = shard_index if shard_index is not None else 0
+        assert 0 <= self.shard_index < self.num_shards, (shard_index,
+                                                         num_shards)
         self.dataset = dataset
         self.batch_size = batch_size
         self.num_workers = max(1, num_workers)
@@ -259,7 +280,7 @@ class DataLoader:
                           drop_last=False, worker_type=self.worker_type)
 
     def __len__(self):
-        n = len(self.indices)
+        n = len(self.indices) // self.num_shards
         if self.drop_last:
             return n // self.batch_size
         return -(-n // self.batch_size)
@@ -306,15 +327,16 @@ class DataLoader:
         order = self.indices.copy()
         if self.shuffle:
             np.random.RandomState(self.seed + self._epoch).shuffle(order)
+        if self.num_shards > 1:
+            order = order[self.shard_index::self.num_shards]
         self._epoch += 1
         bs = self.batch_size
         epoch, seed = self._epoch, self.seed
         skip = getattr(self, "_skip_next", 0)
         self._skip_next = 0
 
-        def fetch(args):
-            i, idx = args
-            rng = _sample_rng(seed, epoch, int(idx), i)
+        def fetch(idx):
+            rng = _sample_rng(seed, epoch, int(idx))
             return self.dataset.get(int(idx), rng=rng)
 
         n_batches = len(self)
@@ -338,12 +360,10 @@ class DataLoader:
             pool = self._ensure_process_pool()
             yield from batches(lambda chunk: pool.map(
                 _process_fetch,
-                [(self._token, i, int(idx), seed, epoch)
-                 for i, idx in enumerate(chunk)]))
+                [(self._token, int(idx), seed, epoch) for idx in chunk]))
         else:
             with ThreadPoolExecutor(self.num_workers) as pool:
-                yield from batches(lambda chunk: pool.map(
-                    fetch, enumerate(chunk)))
+                yield from batches(lambda chunk: pool.map(fetch, chunk))
 
 
 class DevicePrefetcher:

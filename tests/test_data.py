@@ -176,3 +176,28 @@ def test_loader_skip_batches_replays_same_order():
     for (fi, fl), (ti, tl) in zip(full[2:], tail):
         np.testing.assert_array_equal(fi, ti)
         np.testing.assert_array_equal(fl, tl)
+
+
+def test_multihost_loader_shards_are_disjoint_and_cover():
+    """Pod input sharding: per-host loaders (same seed) partition each
+    epoch's shuffled order deterministically."""
+    mk = lambda i, n: Synthetic(batch_size=2, size=16, num_classes=5,
+                                image_hw=48, crop_size=32, shuffle=True)
+    full = Synthetic(batch_size=4, size=16, num_classes=5, image_hw=48,
+                     crop_size=32, shuffle=True)
+    s0 = Synthetic(batch_size=2, size=16, num_classes=5, image_hw=48,
+                   crop_size=32, shuffle=True)
+    s1 = Synthetic(batch_size=2, size=16, num_classes=5, image_hw=48,
+                   crop_size=32, shuffle=True)
+    s0.num_shards = s1.num_shards = 2
+    s0.shard_index, s1.shard_index = 0, 1
+    assert len(s0) == len(s1) == 4  # 16/2 shards / bs 2
+    labs0 = [l for _, l in s0]
+    labs1 = [l for _, l in s1]
+    # disjoint + covering: the union of per-shard label batches equals the
+    # full epoch's sample multiset (hash the per-sample label planes)
+    def keys(batches):
+        return sorted(hash(l[i].tobytes()) for l in batches
+                      for i in range(l.shape[0]))
+    all_labs = [l for _, l in full]
+    assert sorted(keys(labs0) + keys(labs1)) == keys(all_labs)
