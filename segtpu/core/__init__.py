@@ -13,6 +13,8 @@ from segtpu.core.mesh import (  # noqa: F401
     batch_sharding,
     replicated_sharding,
     shard_batch,
+    shard_state,
+    tp_sharding_tree,
 )
 from segtpu.core.state import TrainState, create_train_state, make_optimizer  # noqa: F401
 from segtpu.core.steps import make_train_step, make_eval_step  # noqa: F401

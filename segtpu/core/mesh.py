@@ -53,6 +53,40 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def tp_sharding_tree(mesh: Mesh, state, min_channels: int = 256):
+    """Tensor-parallel sharding tree for a TrainState.
+
+    Conv kernels (HWIO) whose output-channel dim is >= ``min_channels`` and
+    divisible by the ``model`` axis size are sharded over that axis on O;
+    their optimizer momentum buffers (same shapes) shard identically;
+    everything else (BN scales, biases, batch_stats, step) replicates. The
+    GSPMD partitioner then computes those convs output-channel-sharded and
+    inserts the all-gathers/reduce-scatters consumers need — tensor
+    parallelism without touching model code, the jit-sharding analog of
+    Megatron-style column parallelism for convs. Use when one chip's HBM
+    can't hold the model (the zoo's models all fit, so this is an optional
+    capability beyond the reference, which has no model parallelism at all).
+    """
+    tp = mesh.shape[MODEL_AXIS]
+
+    def spec(leaf):
+        shape = getattr(leaf, "shape", ())
+        if (len(shape) == 4 and shape[-1] >= min_channels
+                and shape[-1] % tp == 0):
+            return NamedSharding(mesh, P(None, None, None, MODEL_AXIS))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(spec, state)
+
+
+def shard_state(mesh: Mesh, state, tp: bool = False, min_channels: int = 256):
+    """device_put a TrainState onto the mesh: replicated, or TP-sharded."""
+    tree = (tp_sharding_tree(mesh, state, min_channels) if tp
+            else jax.tree_util.tree_map(
+                lambda _: replicated_sharding(mesh), state))
+    return jax.tree_util.tree_map(jax.device_put, state, tree)
+
+
 def shard_batch(mesh: Mesh, batch):
     """Shard a host batch (pytree of np arrays) over the ``data`` axis.
 

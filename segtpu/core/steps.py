@@ -55,6 +55,7 @@ def make_train_step(
     remat: bool = False,
     spatial: bool = False,
     norm_stats=None,
+    state_sharding=None,
 ):
     """Returns step(state, images, labels, rng) -> (state, loss, SegStats).
 
@@ -110,10 +111,14 @@ def make_train_step(
         return jax.jit(step, donate_argnums=(0,))
     bs = batch_sharding(mesh, spatial=spatial)
     rep = replicated_sharding(mesh)
+    # state_sharding: replicated by default; pass core.mesh.tp_sharding_tree
+    # (and shard_state the state to match) for tensor parallelism — the new
+    # state keeps the same layout, so donation stays buffer-stable.
+    ssh = state_sharding if state_sharding is not None else rep
     return jax.jit(
         step,
-        in_shardings=(rep, bs, bs, rep),
-        out_shardings=(rep, rep, rep),
+        in_shardings=(ssh, bs, bs, rep),
+        out_shardings=(ssh, rep, rep),
         donate_argnums=(0,),
     )
 

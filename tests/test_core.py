@@ -231,3 +231,40 @@ def test_spatial_partitioning_matches_unsharded():
     loss_ref, inter_ref = run(None, False)
     assert abs(loss_sp - loss_ref) < 1e-4, (loss_sp, loss_ref)
     np.testing.assert_allclose(inter_sp, inter_ref, rtol=1e-4, atol=1)
+
+
+def test_tensor_parallel_matches_replicated():
+    """Conv kernels channel-sharded over the model axis (tp_sharding_tree +
+    state_sharding on the step) must reproduce the replicated result —
+    Megatron-style column parallelism for convs via GSPMD alone."""
+    from segtpu.core import shard_state, tp_sharding_tree
+    from segtpu.core.mesh import MODEL_AXIS
+
+    model = _small_unet()
+    mesh = make_mesh(devices=jax.devices()[:2], model_parallel=2)  # pure TP
+    tx = make_optimizer(lr=0.01, num_epochs=1, iters_per_epoch=10)
+    rng = np.random.default_rng(12)
+    imgs, labels = _toy_batch(rng, b=2, hw=32)
+    key = jax.random.PRNGKey(5)
+
+    def run(tp):
+        state = create_train_state(model, tx, jax.random.PRNGKey(0),
+                                   jnp.zeros((1, 32, 32, 3)))
+        tree = tp_sharding_tree(mesh, state, min_channels=128) if tp else None
+        state = shard_state(mesh, state, tp=tp, min_channels=128)
+        if tp:
+            # at least one kernel must actually be sharded over MODEL_AXIS
+            specs = [s.spec for s in jax.tree_util.tree_leaves(tree)]
+            assert any(MODEL_AXIS in (p or ()) for sp in specs
+                       for p in sp), specs
+        step = make_train_step(model, cross_entropy, NC, mesh=mesh,
+                               compute_dtype=jnp.float32,
+                               state_sharding=tree)
+        b = shard_batch(mesh, (imgs, labels))
+        state, loss, stats = step(state, b[0], b[1], key)
+        return float(loss), np.asarray(stats.inter)
+
+    loss_tp, inter_tp = run(True)
+    loss_rep, inter_rep = run(False)
+    assert abs(loss_tp - loss_rep) < 1e-4, (loss_tp, loss_rep)
+    np.testing.assert_allclose(inter_tp, inter_rep, rtol=1e-4, atol=1)
