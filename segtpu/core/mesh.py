@@ -79,11 +79,16 @@ def tp_sharding_tree(mesh: Mesh, state, min_channels: int = 256):
     return jax.tree_util.tree_map(spec, state)
 
 
-def shard_state(mesh: Mesh, state, tp: bool = False, min_channels: int = 256):
-    """device_put a TrainState onto the mesh: replicated, or TP-sharded."""
-    tree = (tp_sharding_tree(mesh, state, min_channels) if tp
-            else jax.tree_util.tree_map(
-                lambda _: replicated_sharding(mesh), state))
+def shard_state(mesh: Mesh, state, tree=None):
+    """device_put a TrainState onto the mesh.
+
+    ``tree``: a sharding pytree (e.g. from :func:`tp_sharding_tree`) —
+    pass the SAME tree to the step's ``state_sharding`` so the jitted
+    layout matches the placed buffers (donation stays copy-free). None
+    replicates."""
+    if tree is None:
+        tree = jax.tree_util.tree_map(
+            lambda _: replicated_sharding(mesh), state)
     return jax.tree_util.tree_map(jax.device_put, state, tree)
 
 

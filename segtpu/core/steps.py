@@ -133,8 +133,13 @@ def make_eval_step(
     return_logits: bool = False,
     spatial: bool = False,
     norm_stats=None,
+    state_sharding=None,
 ):
-    """Returns step(state, images, labels) -> (loss, SegStats[, logits])."""
+    """Returns step(state, images, labels) -> (loss, SegStats[, logits]).
+
+    Pass the same ``state_sharding`` tree as the train step when the state
+    is TP-sharded — otherwise eval would all-gather every sharded kernel
+    into each chip (the OOM tensor parallelism exists to avoid)."""
 
     def step(state, images, labels):
         outputs = model.apply(
@@ -154,6 +159,7 @@ def make_eval_step(
         return jax.jit(step)
     bs = batch_sharding(mesh, spatial=spatial)
     rep = replicated_sharding(mesh)
+    ssh = state_sharding if state_sharding is not None else rep
     out_sh = (rep, rep, bs) if return_logits else (rep, rep)
-    return jax.jit(step, in_shardings=(rep, bs, bs),
+    return jax.jit(step, in_shardings=(ssh, bs, bs),
                    out_shardings=out_sh)

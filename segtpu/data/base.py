@@ -226,14 +226,19 @@ class DataLoader:
         # with the same seed+epoch, then take shard_index::num_shards);
         # core.mesh.shard_batch assembles the per-host batches into one
         # global jax.Array. Defaults auto-wire from the jax distributed
-        # runtime so a config runs unchanged from 1 host to a pod —
-        # batch_size is the PER-HOST batch.
-        if num_shards is None:
-            import jax
-
-            num_shards = jax.process_count()
-            shard_index = jax.process_index()
-        self.num_shards = num_shards
+        # runtime (LAZILY, at first len()/iter(), and without initializing
+        # any jax backend — construction stays jax-free for loader-only
+        # tooling) so a config runs unchanged from 1 host to a pod —
+        # batch_size is the PER-HOST batch. Lockstep note: every host runs
+        # the same floor(n/num_shards)//bs batch count, so up to
+        # num_shards-1 trailing samples of a non-divisible epoch (val
+        # included) are not visited by any host.
+        if num_shards is None and shard_index is not None:
+            raise ValueError("shard_index requires num_shards")
+        self._num_shards_arg = num_shards
+        self._shard_index_arg = shard_index
+        self._shards_resolved = num_shards is not None
+        self.num_shards = num_shards if num_shards is not None else 1
         self.shard_index = shard_index if shard_index is not None else 0
         assert 0 <= self.shard_index < self.num_shards, (shard_index,
                                                          num_shards)
@@ -277,9 +282,35 @@ class DataLoader:
         # zero batches; the ragged tail is padded (masked via ignore labels)
         return DataLoader(self.dataset, self.batch_size, False,
                           self.num_workers, indices=self._val_indices,
-                          drop_last=False, worker_type=self.worker_type)
+                          drop_last=False, worker_type=self.worker_type,
+                          seed=self.seed,
+                          num_shards=self._num_shards_arg,
+                          shard_index=self._shard_index_arg)
+
+    def _resolve_shards(self):
+        """Pick up pod sharding from the jax distributed runtime, if (and
+        only if) the application initialized it — checking never initializes
+        a backend, so jax-free loader tooling stays jax-free."""
+        if self._shards_resolved:
+            return
+        self._shards_resolved = True
+        import sys
+
+        jax = sys.modules.get("jax")
+        if jax is None:
+            return
+        try:
+            from jax._src import distributed
+
+            if distributed.global_state.client is None:
+                return  # single-host: keep 1/0 defaults
+        except Exception:
+            return
+        self.num_shards = jax.process_count()
+        self.shard_index = jax.process_index()
 
     def __len__(self):
+        self._resolve_shards()
         n = len(self.indices) // self.num_shards
         if self.drop_last:
             return n // self.batch_size
@@ -324,6 +355,7 @@ class DataLoader:
         self._skip_next = int(k)
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        self._resolve_shards()
         order = self.indices.copy()
         if self.shuffle:
             np.random.RandomState(self.seed + self._epoch).shuffle(order)

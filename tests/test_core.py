@@ -251,7 +251,7 @@ def test_tensor_parallel_matches_replicated():
         state = create_train_state(model, tx, jax.random.PRNGKey(0),
                                    jnp.zeros((1, 32, 32, 3)))
         tree = tp_sharding_tree(mesh, state, min_channels=128) if tp else None
-        state = shard_state(mesh, state, tp=tp, min_channels=128)
+        state = shard_state(mesh, state, tree)
         if tp:
             # at least one kernel must actually be sharded over MODEL_AXIS
             specs = [s.spec for s in jax.tree_util.tree_leaves(tree)]
@@ -262,9 +262,15 @@ def test_tensor_parallel_matches_replicated():
                                state_sharding=tree)
         b = shard_batch(mesh, (imgs, labels))
         state, loss, stats = step(state, b[0], b[1], key)
-        return float(loss), np.asarray(stats.inter)
+        # eval keeps the TP layout too (no all-gather of the state)
+        estep = make_eval_step(model, cross_entropy, NC, mesh=mesh,
+                               compute_dtype=jnp.float32,
+                               state_sharding=tree)
+        eloss, _ = estep(state, b[0], b[1])
+        return float(loss), float(eloss), np.asarray(stats.inter)
 
-    loss_tp, inter_tp = run(True)
-    loss_rep, inter_rep = run(False)
+    loss_tp, eloss_tp, inter_tp = run(True)
+    loss_rep, eloss_rep, inter_rep = run(False)
     assert abs(loss_tp - loss_rep) < 1e-4, (loss_tp, loss_rep)
+    assert abs(eloss_tp - eloss_rep) < 1e-4, (eloss_tp, eloss_rep)
     np.testing.assert_allclose(inter_tp, inter_rep, rtol=1e-4, atol=1)

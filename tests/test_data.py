@@ -178,19 +178,22 @@ def test_loader_skip_batches_replays_same_order():
         np.testing.assert_array_equal(fl, tl)
 
 
+def _sharded(size, bs, num_shards, shard_index):
+    loader = Synthetic(batch_size=bs, size=size, num_classes=5,
+                       image_hw=48, crop_size=32, shuffle=True)
+    loader.num_shards = num_shards
+    loader.shard_index = shard_index
+    loader._shards_resolved = True  # manual sharding, skip auto-wiring
+    return loader
+
+
 def test_multihost_loader_shards_are_disjoint_and_cover():
     """Pod input sharding: per-host loaders (same seed) partition each
     epoch's shuffled order deterministically."""
-    mk = lambda i, n: Synthetic(batch_size=2, size=16, num_classes=5,
-                                image_hw=48, crop_size=32, shuffle=True)
     full = Synthetic(batch_size=4, size=16, num_classes=5, image_hw=48,
                      crop_size=32, shuffle=True)
-    s0 = Synthetic(batch_size=2, size=16, num_classes=5, image_hw=48,
-                   crop_size=32, shuffle=True)
-    s1 = Synthetic(batch_size=2, size=16, num_classes=5, image_hw=48,
-                   crop_size=32, shuffle=True)
-    s0.num_shards = s1.num_shards = 2
-    s0.shard_index, s1.shard_index = 0, 1
+    s0 = _sharded(16, 2, 2, 0)
+    s1 = _sharded(16, 2, 2, 1)
     assert len(s0) == len(s1) == 4  # 16/2 shards / bs 2
     labs0 = [l for _, l in s0]
     labs1 = [l for _, l in s1]
@@ -201,3 +204,23 @@ def test_multihost_loader_shards_are_disjoint_and_cover():
                       for i in range(l.shape[0]))
     all_labs = [l for _, l in full]
     assert sorted(keys(labs0) + keys(labs1)) == keys(all_labs)
+
+
+def test_multihost_loader_lockstep_on_uneven_shards():
+    """Non-divisible epochs: every host runs the SAME batch count
+    (floor(n/num_shards)//bs — collectives stay in lockstep); the <=
+    num_shards-1 unvisited tail samples are a documented trade."""
+    s0 = _sharded(17, 4, 2, 0)  # shard 0 holds 9 samples, shard 1 holds 8
+    s1 = _sharded(17, 4, 2, 1)
+    assert len(s0) == len(s1) == 2  # floor(17/2)=8 -> 2 batches each
+    assert len(list(s0)) == len(list(s1)) == 2
+
+
+def test_loader_rejects_shard_index_without_num_shards():
+    from segtpu.data.base import DataLoader
+
+    ds = SyntheticDataset(num_classes=5, size=8, image_hw=48, root="",
+                          split="train", mean=[0.5] * 3, std=[0.25] * 3,
+                          crop_size=32)
+    with pytest.raises(ValueError):
+        DataLoader(ds, 2, False, shard_index=1)
