@@ -1,8 +1,11 @@
 """Measured-throughput sweep for the README table (real TPU).
 
-One line per case: train (or eval) imgs/sec/chip at 769x769 bf16, timed by
+One line per case: train (or eval) imgs/sec/chip at 769x769 bf16 plus MFU
+(XLA-counted FLOPs / wall-clock vs the v5e 197 TFLOP/s bf16 peak), timed by
 forcing the loss scalar to host (see CLAUDE.md: block_until_ready is
-unreliable over the tunnel).
+unreliable over the tunnel). Each case compiles ONCE via AOT
+``lower().compile()`` — the same executable serves cost-analysis and the
+timed loop (the double-compile pattern cost round 2 its bench artifact).
 """
 import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
@@ -16,6 +19,7 @@ from segtpu.losses import cross_entropy
 from segtpu.models import get_model
 
 CROP = 769
+PEAK = 197e12  # v5e bf16
 CASES = [
     ("PSPNet-R50 (+aux) train", "PSPNet",
      {"backbone": "resnet50", "use_aux": True}, 8, True),
@@ -26,6 +30,10 @@ CASES = [
     ("ENet train", "ENet", {}, 16, True),
     ("PSPNet-R50 eval", "PSPNet",
      {"backbone": "resnet50", "use_aux": True}, 8, False),
+    ("PSPNet-R50 eval bs16", "PSPNet",
+     {"backbone": "resnet50", "use_aux": True}, 16, False),
+    ("DeepLabV3+ Xception eval", "DeepLab",
+     {"backbone": "xception", "output_stride": 16}, 8, False),
 ]
 
 mesh = make_mesh()
@@ -42,25 +50,30 @@ for label, name, kwargs, batch, train in CASES:
     try:
         if train:
             step = make_train_step(model, cross_entropy, 19, mesh=mesh)
-            for _ in range(3):
-                state, loss, _ = step(state, im, lb, key)
-            float(loss)
-            t0 = time.perf_counter()
-            for _ in range(10):
-                state, loss, _ = step(state, im, lb, key)
-            float(loss)
+            compiled = step.lower(state, im, lb, key).compile()
+            run = lambda s: compiled(s, im, lb, key)  # noqa: E731
         else:
             estep = make_eval_step(model, cross_entropy, 19, mesh=mesh)
-            for _ in range(3):
-                loss, _ = estep(state, im, lb)
-            float(loss)
-            t0 = time.perf_counter()
-            for _ in range(10):
-                loss, _ = estep(state, im, lb)
-            float(loss)
+            compiled = estep.lower(state, im, lb).compile()
+            run = lambda s: (s, *compiled(s, im, lb))  # noqa: E731
+        flops = None
+        try:
+            ca = compiled.cost_analysis()
+            ca = ca[0] if isinstance(ca, list) else ca
+            flops = float(ca.get("flops", 0.0)) or None
+        except Exception:
+            pass
+        for _ in range(3):
+            state, loss, *_ = run(state)
+        float(loss)
+        t0 = time.perf_counter()
+        for _ in range(10):
+            state, loss, *_ = run(state)
+        float(loss)
         dt = (time.perf_counter() - t0) / 10
+        mfu = f"  MFU {flops / dt / PEAK:.1%}" if flops else ""
         print(f"{label}: bs={batch}  {batch / dt:.1f} imgs/sec/chip "
-              f"({dt * 1000:.0f} ms/step)", flush=True)
+              f"({dt * 1000:.0f} ms/step){mfu}", flush=True)
     except Exception as e:
         print(f"{label}: FAILED {type(e).__name__}: {str(e)[:160]}",
               flush=True)

@@ -16,5 +16,6 @@ from segtpu.core.mesh import (  # noqa: F401
     shard_state,
     tp_sharding_tree,
 )
-from segtpu.core.state import TrainState, create_train_state, make_optimizer  # noqa: F401
+from segtpu.core.state import (TrainState, create_train_state,  # noqa: F401
+                               make_optimizer, make_optimizer_with_schedules)
 from segtpu.core.steps import make_train_step, make_eval_step  # noqa: F401

@@ -92,8 +92,10 @@ def shard_state(mesh: Mesh, state, tree=None):
     return jax.tree_util.tree_map(jax.device_put, state, tree)
 
 
-def shard_batch(mesh: Mesh, batch):
-    """Shard a host batch (pytree of np arrays) over the ``data`` axis.
+def shard_batch(mesh: Mesh, batch, spatial: bool = False):
+    """Shard a host batch (pytree of np arrays) over the ``data`` axis
+    (``spatial=True`` additionally shards H over ``model`` — must match the
+    step's ``batch_sharding`` or jit rejects the placed arrays).
 
     Single-process (one host, N local chips): a plain sharded device_put.
     Multi-process (TPU pod: one process per host, jax.distributed
@@ -103,7 +105,7 @@ def shard_batch(mesh: Mesh, batch):
     The loaders' deterministic seeding makes per-host disjoint loading a
     matter of slicing ``DataLoader.indices`` by process index.
     """
-    sh = batch_sharding(mesh)
+    sh = batch_sharding(mesh, spatial=spatial)
     if jax.process_count() > 1:
         return jax.tree_util.tree_map(
             lambda a: jax.make_array_from_process_local_data(sh, np.asarray(a)),

@@ -98,6 +98,35 @@ def make_optimizer(
 ) -> optax.GradientTransformation:
     """Build the full optax transformation from reference-config fields
     (config.json "optimizer" + "lr_scheduler" blocks)."""
+    tx, _ = make_optimizer_with_schedules(
+        optimizer_type=optimizer_type, lr=lr, momentum=momentum,
+        weight_decay=weight_decay, nesterov=nesterov,
+        differential_lr=differential_lr, freeze_backbone=freeze_backbone,
+        scheduler_type=scheduler_type, num_epochs=num_epochs,
+        iters_per_epoch=iters_per_epoch, scheduler_args=scheduler_args)
+    return tx
+
+
+def make_optimizer_with_schedules(
+    optimizer_type: str = "SGD",
+    lr: float = 0.01,
+    momentum: float = 0.9,
+    weight_decay: float = 1e-4,
+    nesterov: bool = False,
+    differential_lr: bool = True,
+    freeze_backbone: bool = False,
+    scheduler_type: str = "Poly",
+    num_epochs: int = 80,
+    iters_per_epoch: int = 1000,
+    scheduler_args: Optional[Dict] = None,
+):
+    """Like :func:`make_optimizer` but also returns the per-group LR schedule
+    closures ``[decoder_sched, backbone_sched?]`` — the EXACT callables baked
+    into ``optax.scale_by_learning_rate``, evaluated by the optimizer at its
+    own update count (== ``TrainState.step``). The trainer logs LRs by
+    evaluating these at ``state.step``, so logged == applied by construction
+    (the reference logs ``param_group['lr']``, i.e. ground truth —
+    reference trainer.py:94-99)."""
     scheduler_args = dict(scheduler_args or {})
     mom_schedule = None
     if scheduler_type == "OneCycle":
@@ -114,17 +143,24 @@ def make_optimizer(
                       momentum_schedule=mom_schedule)
 
     decoder_tx = make(lr_sched, **kwargs)
+    schedules = [lr_sched]
+    if differential_lr:
+        # Reference parity (base_trainer.py:46-53, trainer.py:94-99): with
+        # differential_lr there are ALWAYS two param groups — backbone at
+        # 0.1x — and upstream logs the group's lr even when the backbone is
+        # frozen (it filters the params but keeps the group).
+        schedules.append(lambda s: lr_sched(s) * 0.1)
     if freeze_backbone:
         backbone_tx = optax.set_to_zero()
     elif differential_lr:
-        # backbone trains at lr/10 (reference base/base_trainer.py:52-56)
         backbone_sched = (lambda s: lr_sched(s) * 0.1)
         backbone_tx = make(backbone_sched, **kwargs)
     else:
         backbone_tx = decoder_tx
 
-    return optax.multi_transform(
+    tx = optax.multi_transform(
         {"backbone": backbone_tx, "decoder": decoder_tx}, partition_labels)
+    return tx, schedules
 
 
 def create_train_state(model, tx, rng, sample_input, train: bool = False) -> TrainState:

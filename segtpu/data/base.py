@@ -253,6 +253,15 @@ class DataLoader:
         self._token = id(self)
         if worker_type == "process":
             _FORK_DATASETS[self._token] = dataset
+            # Fork the pool EAGERLY, at construction: in the Trainer path
+            # loaders are built before any jax device use, so the children
+            # fork from a process with no live XLA/libtpu threads. A lazy
+            # fork at first __iter__ would happen after backend init, where
+            # forked children can inherit locked runtime mutexes (JAX
+            # explicitly warns against os.fork after backend init). See
+            # MIGRATION.md: build process-worker loaders before first
+            # device use.
+            self._ensure_process_pool()
 
         if indices is not None:
             self.indices = np.asarray(indices)
@@ -311,9 +320,15 @@ class DataLoader:
 
     def __len__(self):
         self._resolve_shards()
-        n = len(self.indices) // self.num_shards
         if self.drop_last:
-            return n // self.batch_size
+            # train: every host runs the same floor batch count (lockstep);
+            # up to num_shards-1 trailing samples of the epoch order are
+            # dropped — same spirit as single-host drop_last.
+            return (len(self.indices) // self.num_shards) // self.batch_size
+        # val: the global order is padded up to a multiple of num_shards
+        # (ignore-labeled pad slots, yielded last) so EVERY sample is visited
+        # by exactly one host and pod metrics match single-host exactly.
+        n = -(-len(self.indices) // self.num_shards)
         return -(-n // self.batch_size)
 
     def _ensure_process_pool(self):
@@ -360,6 +375,16 @@ class DataLoader:
         if self.shuffle:
             np.random.RandomState(self.seed + self._epoch).shuffle(order)
         if self.num_shards > 1:
+            if not self.drop_last:
+                # pad the GLOBAL order to a multiple of num_shards with
+                # sentinel (-1) slots so every host yields the same batch
+                # count AND every real sample is visited exactly once; the
+                # sentinels become ignore-labeled padding below (exactly
+                # like the single-host ragged tail).
+                pad = (-len(order)) % self.num_shards
+                if pad:
+                    order = np.concatenate(
+                        [order, np.full(pad, -1, order.dtype)])
             order = order[self.shard_index::self.num_shards]
         self._epoch += 1
         bs = self.batch_size
@@ -373,9 +398,24 @@ class DataLoader:
 
         n_batches = len(self)
 
+        def pad_only_batch():
+            # all-sentinel chunk (tiny shard + tiny batch): emit a fully
+            # ignore-labeled batch so lockstep holds; metrics/val-loss mask
+            # it out entirely (zero valid pixels).
+            ds = self.dataset
+            crop = ds.crop_size or 1
+            c = len(ds.mean)
+            img_dtype = np.uint8 if ds.device_normalize else np.float32
+            return (np.zeros((bs, crop, crop, c), img_dtype),
+                    np.full((bs, crop, crop), -100, np.int32))
+
         def batches(mapper):
             for b in range(skip, n_batches):
                 chunk = order[b * bs:(b + 1) * bs]
+                chunk = chunk[chunk >= 0]  # drop pod-padding sentinels
+                if len(chunk) == 0:
+                    yield pad_only_batch()
+                    continue
                 samples = list(mapper(chunk))
                 images = np.stack([s[0] for s in samples])
                 labels = np.stack([s[1] for s in samples])
@@ -403,10 +443,12 @@ class DevicePrefetcher:
     (sharded over the mesh) overlaps the current step. TPU analog of the
     reference's CUDA-stream DataPrefetcher (base/base_dataloader.py:49-85)."""
 
-    def __init__(self, loader: DataLoader, mesh=None, depth: int = 2):
+    def __init__(self, loader: DataLoader, mesh=None, depth: int = 2,
+                 spatial: bool = False):
         self.loader = loader
         self.mesh = mesh
         self.depth = depth
+        self.spatial = spatial
 
     def __len__(self):
         return len(self.loader)
@@ -422,7 +464,8 @@ class DevicePrefetcher:
             try:
                 for batch in self.loader:
                     if self.mesh is not None:
-                        batch = shard_batch(self.mesh, batch)
+                        batch = shard_batch(self.mesh, batch,
+                                            spatial=self.spatial)
                     else:
                         batch = jax.tree_util.tree_map(jax.device_put, batch)
                     q.put(batch)

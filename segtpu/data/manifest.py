@@ -182,6 +182,23 @@ class ManifestLoader(DataLoader):
                  shuffle=False, flip=False, rotate=False, blur=False,
                  augment=False, val_split=None, return_id=False,
                  worker_type="thread", device_normalize=False, **extra):
+        # Validate pass-through keys against the manifest() signature NOW so
+        # a stray config key (a typo like "crop_szie", or a loader arg this
+        # dataset doesn't take) raises naming the dataset and the key,
+        # instead of an opaque TypeError from deep inside manifest().
+        import inspect
+
+        sig = inspect.signature(type(self).manifest)
+        has_var_kw = any(p.kind is inspect.Parameter.VAR_KEYWORD
+                         for p in sig.parameters.values())
+        if not has_var_kw:
+            allowed = set(sig.parameters) - {"split"}
+            unknown = set(extra) - allowed
+            if unknown:
+                raise TypeError(
+                    f"{type(self).__name__}: unknown loader arg(s) "
+                    f"{sorted(unknown)}; this dataset accepts "
+                    f"{sorted(allowed)} beyond the common loader args")
         m = type(self).manifest(split=split, **extra)
         self.MEAN, self.STD = list(m.mean), list(m.std)
         dataset = ManifestDataset(

@@ -79,11 +79,37 @@ def multi_scale_predict(predict_fn: Callable, image: np.ndarray,
     return total / len(scales)
 
 
+def _chunked_forward(predict_fn: Callable, batch: np.ndarray,
+                     max_tile_batch: int | None) -> np.ndarray:
+    """Run ``predict_fn`` over ``batch`` in fixed-size chunks.
+
+    A 2048x1024 Cityscapes frame at the reference tile geometry is ~32 tiles
+    x2 (flip) of 819x409 — ~0.5 GB input + ~1.6 GB float32 logits if
+    materialized in ONE forward. Chunking bounds peak HBM; the last chunk is
+    padded up to ``max_tile_batch`` so every chunk shares one compiled shape
+    (compile count stays 1). Eval-mode BN is batch-independent, so chunked
+    and unchunked outputs are identical."""
+    if max_tile_batch is None or len(batch) <= max_tile_batch:
+        return np.asarray(predict_fn(batch))
+    outs = []
+    for i in range(0, len(batch), max_tile_batch):
+        chunk = batch[i:i + max_tile_batch]
+        pad = max_tile_batch - len(chunk)
+        if pad:
+            chunk = np.concatenate(
+                [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
+        out = np.asarray(predict_fn(chunk))
+        outs.append(out[:max_tile_batch - pad] if pad else out)
+    return np.concatenate(outs, axis=0)
+
+
 def sliding_predict(predict_fn: Callable, image: np.ndarray, num_classes: int,
                     flip: bool = True, tile_divisor: float = 2.5,
-                    overlap: float = 1 / 3) -> np.ndarray:
+                    overlap: float = 1 / 3,
+                    max_tile_batch: int | None = 16) -> np.ndarray:
     """Count-normalized overlapped tiling (reference inference.py:26-58),
-    with all tiles batched into one forward."""
+    tiles batched into ``max_tile_batch``-sized compiled forwards
+    (None = all tiles in one batch)."""
     h, w = image.shape[:2]
     tile_h, tile_w = int(h // tile_divisor), int(w // tile_divisor)
     stride = ceil(tile_h * (1 - overlap))
@@ -105,7 +131,7 @@ def sliding_predict(predict_fn: Callable, image: np.ndarray, num_classes: int,
     batch = np.stack(tiles)  # (T, th, tw, C)
     if flip:
         batch = np.concatenate([batch, batch[:, :, ::-1]], axis=0)
-    logits = np.asarray(predict_fn(batch))
+    logits = _chunked_forward(predict_fn, batch, max_tile_batch)
     if flip:
         t = len(tiles)
         logits = 0.5 * (logits[:t] + logits[t:][:, :, ::-1])

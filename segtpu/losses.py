@@ -224,7 +224,14 @@ def lovasz_softmax_auto(logits, target, ignore_index=255, **kw):
     bounded by the bin width (1/128 by default, see lovasz_softmax_binned);
     opt into the exact semantics with the config name ``LovaszSoftmaxExact``.
     Reference semantics: utils/lovasz_losses.py:153-199.
+
+    ``per_image`` (reference utils/lovasz_losses.py:159) is only meaningful
+    for the exact form; a config passing it routes there on every backend
+    (the binned approximation is batch-global by construction).
     """
+    if kw.get("per_image"):
+        return lovasz_softmax(logits, target, ignore_index=ignore_index, **kw)
+    kw.pop("per_image", None)
     if jax.default_backend() == "tpu":
         return lovasz_softmax_binned(logits, target,
                                      ignore_index=ignore_index, **kw)

@@ -180,7 +180,10 @@ class SegResNet(nn.Module):
 
         # Decoder: reversed stages; each stage = (count-1) same-width
         # bottlenecks + a DecoderBottleneck halving channels and doubling HW.
-        dec_plan = ((512, 2), (256, 3), (128, 5))  # width, repeated blocks
+        # Counts mirror resnet50's [3,4,6,3] minus the dropped (downsampling)
+        # head block of each reversed layer: layer4->2, layer3->5, layer2->3
+        # (reference models/segnet.py:216-224).
+        dec_plan = ((512, 2), (256, 5), (128, 3))  # width, repeated blocks
         for si, (w, reps) in enumerate(dec_plan):
             for bi in range(reps):
                 y = _ResNet50Bottleneck(w, 1, False,

@@ -156,15 +156,17 @@ class FPNFuse(nn.Module):
             feats[0] = Conv(self.fpn_out, 1, name="lateral_p0")(feats[0])
         for i in range(1, n):
             feats[i] = Conv(self.fpn_out, 1, name=f"lateral{i - 1}")(feats[i])
-        merged = []
-        # top-down: P[i-1] = up(P[i]) + lateral[i-1]
-        prev = feats[-1]
-        for i in reversed(range(1, n)):
-            up = resize_bilinear(prev, (feats[i - 1].shape[1], feats[i - 1].shape[2]),
-                                 align_corners=True)
-            prev = up + feats[i - 1]
-            merged.append(prev)
-        merged = list(reversed(merged))  # finest first, len n-1
+        # "top-down" merge, reference-exact (models/upernet.py:108-110):
+        # the comprehension reads the UNMUTATED projected features, so each
+        # P[j] = up(f[j+1]) + f[j] INDEPENDENTLY — not the cascaded FPN of
+        # the original paper. Behavior-parity over textbook-FPN on purpose:
+        # migrated reference checkpoints expect these semantics.
+        merged = [
+            resize_bilinear(feats[j + 1],
+                            (feats[j].shape[1], feats[j].shape[2]),
+                            align_corners=True) + feats[j]
+            for j in range(n - 1)
+        ]  # finest first, len n-1
         # NOTE: the reference builds smooth_conv with [module]*(n-1), i.e. ONE
         # shared 3x3 conv applied to every level (a latent bug upstream that
         # is nonetheless its behavior). We use per-level convs — documented

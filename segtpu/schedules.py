@@ -16,13 +16,19 @@ def poly(base_lr: float, num_epochs: int, iters_per_epoch: int,
          warmup_epochs: int = 0, power: float = 0.9):
     """Poly decay ``base_lr * (1 - T/N)^0.9`` with optional linear warmup.
 
-    Parity: reference utils/lr_scheduler.py:4-20 (class Poly).
+    Parity: reference utils/lr_scheduler.py:4-20 (class Poly). Indexing
+    quirk reproduced exactly: torch's ``_LRScheduler.__init__`` consumes
+    T=0 at CONSTRUCTION (its initial ``.step()``), so the reference's
+    training iteration t (0-based update count) applies ``factor(T=t+1)``
+    — the first applied lr is already one tick decayed and the final
+    iteration reaches lr=0. Proven end-to-end by
+    tests/test_reference_parity.py::test_training_dynamics_parity.
     """
     total = num_epochs * iters_per_epoch
     warmup = warmup_epochs * iters_per_epoch
 
     def schedule(step):
-        t = jnp.asarray(step, jnp.float32)
+        t = jnp.asarray(step, jnp.float32) + 1.0
         factor = jnp.power(jnp.maximum(1.0 - t / total, 0.0), power)
         if warmup > 0:
             factor = jnp.where(t < warmup, t / warmup, factor)
@@ -37,7 +43,9 @@ def one_cycle(base_lr: float, num_epochs: int, iters_per_epoch: int,
     cosine anneal to lr/(25e4), with inverse momentum cycling 0.95 -> 0.85 ->
     0.95. Returns ``(lr_schedule, momentum_schedule)``.
 
-    Parity: reference utils/lr_scheduler.py:23-59 (class OneCycle).
+    Parity: reference utils/lr_scheduler.py:23-59 (class OneCycle), with
+    the same T=t+1 applied-iteration indexing as :func:`poly` (the
+    construction-time ``.step()`` consumes T=0).
     """
     total = num_epochs * iters_per_epoch
     p1 = int(total * phase1)
@@ -48,7 +56,7 @@ def one_cycle(base_lr: float, num_epochs: int, iters_per_epoch: int,
     mom_diff = mom_hi - mom_lo
 
     def lr_schedule(step):
-        t = jnp.asarray(step, jnp.float32)
+        t = jnp.asarray(step, jnp.float32) + 1.0
         cos1 = (1.0 + jnp.cos(jnp.pi * jnp.minimum(t, p1) / p1)) / 2.0
         lr1 = base_lr - (base_lr - low_lr) * cos1
         t2 = jnp.clip(t - p1, 0.0, p2)
@@ -57,7 +65,7 @@ def one_cycle(base_lr: float, num_epochs: int, iters_per_epoch: int,
         return jnp.where(t <= p1, lr1, lr2)
 
     def momentum_schedule(step):
-        t = jnp.asarray(step, jnp.float32)
+        t = jnp.asarray(step, jnp.float32) + 1.0
         cos1 = (1.0 + jnp.cos(jnp.pi * jnp.minimum(t, p1) / p1)) / 2.0
         m1 = mom_lo + mom_diff * cos1
         t2 = jnp.clip(t - p1, 0.0, p2)

@@ -32,7 +32,8 @@ from segtpu import losses as loss_lib
 from segtpu import metrics as metrics_lib
 from segtpu.checkpoint import load_checkpoint, save_checkpoint
 from segtpu.core import (create_train_state, make_eval_step, make_mesh,
-                         make_optimizer, make_train_step)
+                         make_optimizer_with_schedules, make_train_step,
+                         shard_state, tp_sharding_tree)
 from segtpu.data.base import DevicePrefetcher
 from segtpu.metrics import AverageMeter, SegStats
 from segtpu.utils.helpers import colorize_mask, denormalize, dir_exists
@@ -51,7 +52,34 @@ class Trainer:
 
         setup_logging()
         self.logger = logging.getLogger(f"segtpu.{type(self).__name__}")
-        self.mesh = mesh if mesh is not None else make_mesh()
+        cfg_par = config.get("trainer", {})
+        # Config-surfaced parallelism / memory knobs (beyond the reference
+        # schema — its only strategy is DataParallel, base_trainer.py:31-38):
+        #   trainer.model_parallel: N  -> mesh gets an N-wide "model" axis and
+        #       the big conv kernels are channel-sharded over it (TP);
+        #   trainer.spatial: true      -> image H sharded over the model axis
+        #       (GSPMD spatial partitioning, halo exchanges by XLA);
+        #   trainer.remat: true        -> jax.checkpoint around the forward
+        #       (~2x batch at 769^2 for ~1/3 more FLOPs).
+        self.model_parallel = int(cfg_par.get("model_parallel", 1))
+        self.spatial = bool(cfg_par.get("spatial", False))
+        self.remat = bool(cfg_par.get("remat", False))
+        if mesh is not None:
+            self.mesh = mesh
+        else:
+            # trainer.devices: use only the first N devices (sandbox/test
+            # knob; production leaves it unset = whole host)
+            devices = None
+            if "devices" in cfg_par:
+                devices = jax.devices()[: int(cfg_par["devices"])]
+            self.mesh = make_mesh(devices=devices,
+                                  model_parallel=self.model_parallel)
+        if (self.model_parallel > 1 or self.spatial) and \
+                self.mesh.shape.get("model", 1) < 2:
+            raise ValueError(
+                f"trainer.model_parallel={self.model_parallel}/spatial="
+                f"{self.spatial} need a mesh with a >1 'model' axis; got "
+                f"{dict(self.mesh.shape)}")
         self.num_classes = train_loader.dataset.num_classes
         self.ignore_index = config.get("ignore_index", 255)
         self.loss_fn = loss_lib.get_loss(loss) if isinstance(loss, str) else loss
@@ -81,7 +109,7 @@ class Trainer:
         opt_cfg = config.get("optimizer", {"type": "SGD", "args": {}})
         sched_cfg = config.get("lr_scheduler", {"type": "Poly", "args": {}})
         iters_per_epoch = max(len(train_loader), 1)
-        self.tx = make_optimizer(
+        self.tx, self.lr_schedules = make_optimizer_with_schedules(
             optimizer_type=opt_cfg.get("type", "SGD"),
             differential_lr=opt_cfg.get("differential_lr", True),
             freeze_backbone=config.get("arch", {}).get("args", {}).get(
@@ -119,14 +147,25 @@ class Trainer:
         self.norm_stats = (
             (train_loader.dataset.mean, train_loader.dataset.std)
             if dev_norm else None)
+        # TP: shard the state ONCE after init/pretrained-load; the SAME tree
+        # goes to BOTH steps (eval included — otherwise eval would all-gather
+        # every sharded kernel into each chip, core/steps.py docstring).
+        self.state_sharding = None
+        if self.model_parallel > 1:
+            self.state_sharding = tp_sharding_tree(self.mesh, self.state)
+            self.state = shard_state(self.mesh, self.state,
+                                     self.state_sharding)
         self.train_step = make_train_step(
             self.model, self.loss_fn, self.num_classes,
             ignore_index=self.ignore_index, mesh=self.mesh,
-            compute_dtype=compute_dtype, norm_stats=self.norm_stats)
+            compute_dtype=compute_dtype, norm_stats=self.norm_stats,
+            remat=self.remat, spatial=self.spatial,
+            state_sharding=self.state_sharding)
         self.eval_step = make_eval_step(
             self.model, self.loss_fn, self.num_classes,
             ignore_index=self.ignore_index, mesh=self.mesh,
-            compute_dtype=compute_dtype, norm_stats=self.norm_stats)
+            compute_dtype=compute_dtype, norm_stats=self.norm_stats,
+            spatial=self.spatial, state_sharding=self.state_sharding)
         self.compute_dtype = compute_dtype
         self.rng = jax.random.PRNGKey(config.get("seed", 0) + 1)
 
@@ -224,7 +263,8 @@ class Trainer:
             self.train_loader.skip_batches(self._resume_iter)
             self._epoch_skip = self._resume_iter
             self._resume_iter = 0
-        prefetcher = DevicePrefetcher(self.train_loader, self.mesh)
+        prefetcher = DevicePrefetcher(self.train_loader, self.mesh,
+                                      spatial=self.spatial)
         iters_per_epoch = len(self.train_loader)
         profiling = self.profile_steps > 0 and epoch == self.start_epoch
         if profiling:
@@ -287,7 +327,7 @@ class Trainer:
                 self.writer.add_scalar(f"train/{k}", log[k], self.wrt_step)
             # one scalar per param group, like the reference
             # (trainer.py:94-99): group 0 = decoder, group 1 = backbone
-            for i, lr in enumerate(self._current_lrs(epoch, iters_per_epoch)):
+            for i, lr in enumerate(self._current_lrs()):
                 self.writer.add_scalar(f"train/Learning_rate_{i}", lr,
                                        self.wrt_step)
         self.logger.info(
@@ -296,43 +336,33 @@ class Trainer:
             f"B {batch_time.average:.2f}s D {data_time.average:.2f}s")
         return log
 
-    def _current_lrs(self, epoch: int, iters_per_epoch: int):
-        """Per-group learning rates at this step: [decoder] or
-        [decoder, backbone*0.1] under differential LR (group order matches
-        reference base_trainer.py:52-56)."""
-        from segtpu import schedules
-
-        sched_cfg = self.config.get("lr_scheduler", {"type": "Poly", "args": {}})
-        opt_cfg = self.config.get("optimizer", {"args": {}})
-        base_lr = opt_cfg.get("args", {}).get("lr", 0.01)
-        step = epoch * iters_per_epoch
-        if sched_cfg.get("type", "Poly") == "OneCycle":
-            lr_s, _ = schedules.one_cycle(base_lr, self.epochs, iters_per_epoch,
-                                          **sched_cfg.get("args", {}))
-        else:
-            lr_s = schedules.get_schedule(sched_cfg.get("type", "Poly"))(
-                base_lr, self.epochs, iters_per_epoch,
-                **sched_cfg.get("args", {}))
-        lrs = [float(lr_s(step))]
-        # Reference parity (base_trainer.py:46-53, trainer.py:94-99): with
-        # differential_lr there are ALWAYS two param groups — group 1 is the
-        # backbone at 0.1x, logged even when the model has no backbone scope
-        # (empty group upstream) or the backbone is frozen (upstream filters
-        # the params but still logs the group's lr). Actual frozen-backbone
-        # updates are zero regardless (core/state.py: optax.set_to_zero).
-        if opt_cfg.get("differential_lr", True):
-            lrs.append(lrs[0] * 0.1)
-        return lrs
+    def _current_lrs(self):
+        """Per-group learning rates AS APPLIED: evaluates the exact schedule
+        closures the optimizer scales updates by (``core.state.
+        make_optimizer_with_schedules``) at the optimizer's own update count
+        (``state.step``). No re-derivation from config, so logged == applied
+        (the reference logs ``param_group['lr']`` — trainer.py:94-99). Group
+        order matches reference base_trainer.py:52-56: [decoder, backbone]."""
+        step = int(self.state.step)
+        return [float(s(step)) for s in self.lr_schedules]
 
     # ------------------------------------------------------------------
     def _valid_epoch(self, epoch: int) -> Dict:
         total_stats = SegStats.zeros(self.num_classes)
+        # val_loss is the VALID-PIXEL-weighted mean: each batch's (valid-
+        # pixel-mean) loss weighted by its valid-pixel count (stats.labeled,
+        # already computed in the step). An equal-weight mean would let the
+        # padded val tail batch (mostly ignore-labeled padding, data/base.py
+        # ragged-tail path) bias the logged loss on non-divisible val sets —
+        # the reference's ragged last batch gets its natural smaller weight
+        # (reference trainer.py:127-129).
         loss_acc = jnp.zeros(())
-        n_iters = 0
+        weight_acc = jnp.zeros(())
         viz = []
 
         eval_step_logits = None
-        prefetcher = DevicePrefetcher(self.val_loader, self.mesh)
+        prefetcher = DevicePrefetcher(self.val_loader, self.mesh,
+                                      spatial=self.spatial)
         for it, (images, labels) in enumerate(prefetcher):
             want_viz = it < 15 and self.writer is not None and len(viz) < 15
             if want_viz:
@@ -343,7 +373,8 @@ class Trainer:
                         self.model, self.loss_fn, self.num_classes,
                         ignore_index=self.ignore_index, mesh=self.mesh,
                         compute_dtype=self.compute_dtype, return_logits=True,
-                        norm_stats=self.norm_stats)
+                        norm_stats=self.norm_stats, spatial=self.spatial,
+                        state_sharding=self.state_sharding)
                 loss, stats, logits = eval_step_logits(self.state, images,
                                                        labels)
                 pred = np.asarray(jnp.argmax(logits[:1], -1))[0]
@@ -357,11 +388,11 @@ class Trainer:
             else:
                 loss, stats = self.eval_step(self.state, images, labels)
             total_stats = total_stats + stats
-            loss_acc = loss_acc + loss
-            n_iters += 1
+            loss_acc = loss_acc + loss * stats.labeled
+            weight_acc = weight_acc + stats.labeled
 
         seg = metrics_lib.summarize(total_stats)
-        avg_loss = float(loss_acc) / max(n_iters, 1)
+        avg_loss = float(loss_acc) / max(float(weight_acc), 1e-12)
         log = {"val_loss": round(avg_loss, 3),
                "Pixel_Accuracy": float(seg["Pixel_Accuracy"]),
                "Mean_IoU": float(seg["Mean_IoU"]),

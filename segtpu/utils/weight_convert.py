@@ -360,6 +360,125 @@ def convert_enet(state_dict: Dict) -> Tuple[Dict, Dict]:
     return params, stats
 
 
+def _initial_resnet_backbone(sd: Dict, arch: str, initial: str = "initial"
+                             ) -> Tuple[Dict, Dict]:
+    """Re-prefixed reference-resnet backbone keys -> ResNetFeatures trees.
+
+    Several reference models store ``nn.Sequential(*children[:4])`` of a
+    resnet as ``<initial>.`` plus the untouched ``layerX.`` modules
+    (models/pspnet.py:49-58, models/unet.py:131-140, models/upernet.py:47-58,
+    models/deeplabv3_plus.py:18-33, models/duc_hdc.py:59-75). Detects the
+    deep (encoding) vs plain (torchvision) stem from the key shape and
+    reuses convert_resnet."""
+    deep = any(k.startswith(f"{initial}.0.0.") for k in sd)
+    bb: Dict = {}
+    for k, v in sd.items():
+        if k.startswith(f"{initial}.0."):
+            bb["conv1." + k[len(f"{initial}.0."):]] = v
+        elif k.startswith(f"{initial}.1."):
+            bb["bn1." + k[len(f"{initial}.1."):]] = v
+        elif k.startswith("layer") and not k.startswith(initial):
+            bb[k] = v
+    return convert_resnet(bb, arch=arch,
+                          style="encoding" if deep else "torchvision")
+
+
+def convert_unet_resnet(state_dict: Dict, arch: str = "resnet50"
+                        ) -> Tuple[Dict, Dict]:
+    """Reference UNetResnet (models/unet.py:126-209) -> segtpu UNetResnet.
+
+    Encoder: local encoding-style resnet re-prefixed under ``initial.``/
+    ``layerX.`` (models/unet.py:131-140); decoder: convN (biased 3x3) +
+    upconvN (bias-free ConvTranspose k=4,s=2,p=1), classifier conv7 is
+    bias-free 1x1 (models/unet.py:143-159)."""
+    sd = state_dict
+    bparams, bstats = _initial_resnet_backbone(sd, arch)
+    params: Dict = {"backbone": bparams}
+    stats: Dict = {"backbone": bstats}
+    for i in range(1, 7):
+        params[f"conv{i}"] = {"kernel": _conv(sd[f"conv{i}.weight"]),
+                              "bias": _vec(sd[f"conv{i}.bias"])}
+    for i in range(1, 6):
+        params[f"upconv{i}"] = {"kernel": _convT(sd[f"upconv{i}.weight"])}
+    params["conv7"] = {"kernel": _conv(sd["conv7.weight"])}
+    return params, stats
+
+
+def convert_gcn(state_dict: Dict, arch: str = "resnet50") -> Tuple[Dict, Dict]:
+    """Reference GCN with the torchvision-resnet backbone
+    (models/gcn.py:114-141,191-233) -> segtpu GCN variables.
+
+    Decoder: gcnN dual-path separable blocks (biased convs, :147-170), brN
+    boundary-refinement conv pairs (:172-189), biased 1x1 final_conv; the
+    optional deconN ConvTranspose stack when ``use_deconv`` was set."""
+    sd = state_dict
+    bb = {k[len("backbone."):]: v for k, v in sd.items()
+          if k.startswith("backbone.")}
+    bparams, bstats = _initial_resnet_backbone(bb, arch)
+    params: Dict = {"backbone": bparams}
+    stats: Dict = {"backbone": bstats}
+
+    def biased(t):
+        return {"kernel": _conv(sd[f"{t}.weight"]),
+                "bias": _vec(sd[f"{t}.bias"])}
+
+    for i in range(1, 5):
+        params[f"gcn{i}"] = {n: biased(f"gcn{i}.{n}")
+                             for n in ("conv11", "conv12", "conv21", "conv22")}
+    for i in range(1, 10):
+        params[f"br{i}"] = {"conv1": biased(f"br{i}.conv1"),
+                            "conv2": biased(f"br{i}.conv2")}
+    for i in range(1, 6):
+        k = f"decon{i}.weight"
+        if k in sd:
+            params[f"decon{i}"] = {"kernel": _convT(sd[k])}
+    params["final_conv"] = biased("final_conv")
+    return params, stats
+
+
+def convert_upernet(state_dict: Dict, arch: str = "resnet101"
+                    ) -> Tuple[Dict, Dict]:
+    """Reference UperNet (models/upernet.py:119-154) -> segtpu UperNet.
+
+    PPN = PSPModule with stages Sequential(pool, conv@1, bn@2) and
+    bottleneck Sequential(conv@0, bn@1) (:8-38); FPN = conv1x1 laterals +
+    smooth convs + conv_fusion (:92-117). The reference's smooth_conv is ONE
+    shared module repeated ([module]*3, :99) — segtpu has per-level smooths,
+    so every smoothN loads the same tensors (behaviorally identical)."""
+    sd = state_dict
+    bb = {k[len("backbone."):]: v for k, v in sd.items()
+          if k.startswith("backbone.")}
+    bparams, bstats = _initial_resnet_backbone(bb, arch)
+    params: Dict = {"backbone": bparams}
+    stats: Dict = {"backbone": bstats}
+
+    pp: Dict = {}
+    ps: Dict = {}
+    for i in range(4):
+        t = f"PPN.stages.{i}"
+        pp[f"stage{i}_conv"] = {"kernel": _conv(sd[f"{t}.1.weight"])}
+        pp[f"stage{i}_bn"], ps[f"stage{i}_bn"] = _bn(sd, f"{t}.2")
+    pp["bottleneck_conv"] = {"kernel": _conv(sd["PPN.bottleneck.0.weight"])}
+    pp["bottleneck_bn"], ps["bottleneck_bn"] = _bn(sd, "PPN.bottleneck.1")
+    params["ppn"] = pp
+    stats["ppn"] = ps
+
+    fp: Dict = {}
+    fs: Dict = {}
+    for i in range(3):
+        fp[f"lateral{i}"] = {"kernel": _conv(sd[f"FPN.conv1x1.{i}.weight"]),
+                             "bias": _vec(sd[f"FPN.conv1x1.{i}.bias"])}
+        fp[f"smooth{i}"] = {"kernel": _conv(sd[f"FPN.smooth_conv.{i}.weight"]),
+                            "bias": _vec(sd[f"FPN.smooth_conv.{i}.bias"])}
+    fp["fusion_conv"] = {"kernel": _conv(sd["FPN.conv_fusion.0.weight"])}
+    fp["fusion_bn"], fs["fusion_bn"] = _bn(sd, "FPN.conv_fusion.1")
+    params["fpn"] = fp
+    stats["fpn"] = fs
+    params["head"] = {"kernel": _conv(sd["head.weight"]),
+                      "bias": _vec(sd["head.bias"])}
+    return params, stats
+
+
 def convert_pspnet(state_dict: Dict, arch: str = "resnet50") -> Tuple[Dict, Dict]:
     """Reference PSPNet (models/pspnet.py:41-105) -> segtpu PSPNet variables.
 
@@ -426,7 +545,13 @@ def convert_deeplab_xception(state_dict: Dict) -> Tuple[Dict, Dict]:
     bparams, bstats = convert_xception(bb)
     params: Dict = {"backbone": bparams}
     stats: Dict = {"backbone": bstats}
+    _deeplab_head(sd, params, stats)
+    return params, stats
 
+
+def _deeplab_head(sd: Dict, params: Dict, stats: Dict) -> None:
+    """Shared DeepLabV3+ head mapping: ASSP (models/deeplabv3_plus.py:260-297)
+    + Decoder (:303-330). Fills ``params``/``stats`` in place."""
     ap: Dict = {}
     asr: Dict = {}
     for i in range(1, 5):
@@ -451,6 +576,280 @@ def convert_deeplab_xception(state_dict: Dict) -> Tuple[Dict, Dict]:
                         "bias": _vec(sd["decoder.output.7.bias"])}
     params["decoder"] = dp
     stats["decoder"] = ds
+
+
+def convert_deeplab_resnet(state_dict: Dict, arch: str = "resnet101"
+                           ) -> Tuple[Dict, Dict]:
+    """Reference DeepLabV3+ with the torchvision-ResNet backbone
+    (models/deeplabv3_plus.py:14-63: ``layer0`` stem + dilated layer3/4)
+    -> segtpu DeepLab variables. Head mapping shared with the xception
+    variant."""
+    sd = dict(state_dict)
+    bb = {k[len("backbone."):]: v for k, v in sd.items()
+          if k.startswith("backbone.")}
+    bparams, bstats = _initial_resnet_backbone(bb, arch, initial="layer0")
+    params: Dict = {"backbone": bparams}
+    stats: Dict = {"backbone": bstats}
+    _deeplab_head(sd, params, stats)
+    return params, stats
+
+
+def convert_fcn8(state_dict: Dict) -> Tuple[Dict, Dict]:
+    """Reference FCN8 (models/fcn.py:9-114) -> segtpu FCN8 variables.
+
+    VGG features live re-sliced under pool3/pool4/pool5 Sequentials
+    (models/fcn.py:25-27, original feature indices preserved inside each
+    slice); FC6/FC7 were already copied into the ``output`` convs at
+    construction (:39-45); the frozen bilinear upsamplers (:55-73) have no
+    segtpu parameters (fixed resize kernels) and are skipped."""
+    sd = state_dict
+    params: Dict = {}
+    # (segtpu stage, [(ci, torch key prefix)...]) — conv positions within the
+    # reference's re-sliced Sequentials
+    plan = [
+        ("stage1", ["pool3.0", "pool3.2"]),
+        ("stage2", ["pool3.5", "pool3.7"]),
+        ("stage3", ["pool3.10", "pool3.12", "pool3.14"]),
+        ("stage4", ["pool4.0", "pool4.2", "pool4.4"]),
+        ("stage5", ["pool5.0", "pool5.2", "pool5.4"]),
+    ]
+    bb: Dict = {}
+    for stage, prefixes in plan:
+        bb[stage] = {
+            f"conv{ci}": {"kernel": _conv(sd[f"{t}.weight"]),
+                          "bias": _vec(sd[f"{t}.bias"])}
+            for ci, t in enumerate(prefixes)}
+    params["backbone"] = bb
+    for name, t in (("backbone_conv6", "output.0"),
+                    ("backbone_conv7", "output.3"),
+                    ("backbone_score", "output.6"),
+                    ("adj_pool3", "adj_pool3"),
+                    ("adj_pool4", "adj_pool4")):
+        params[name] = {"kernel": _conv(sd[f"{t}.weight"]),
+                        "bias": _vec(sd[f"{t}.bias"])}
+    return params, {}
+
+
+def convert_segnet(state_dict: Dict) -> Tuple[Dict, Dict]:
+    """Reference SegNet (models/segnet.py:13-132) -> segtpu SegNet variables.
+
+    Encoder = VGG16-BN stages re-sliced as stageN_encoder Sequentials
+    (conv at 3k, bn at 3k+1); decoder = the rebuilt mirrored stages
+    (:37-61), with the classifier appended to stage5_decoder."""
+    sd = state_dict
+    params: Dict = {}
+    stats: Dict = {}
+
+    enc_widths = VGG16_STAGES
+    bb_p: Dict = {}
+    bb_s: Dict = {}
+    for si, widths in enumerate(enc_widths):
+        sp: Dict = {}
+        ss: Dict = {}
+        for ci in range(len(widths)):
+            t = f"stage{si + 1}_encoder.{3 * ci}"
+            sp[f"conv{ci}"] = {"kernel": _conv(sd[f"{t}.weight"]),
+                               "bias": _vec(sd[f"{t}.bias"])}
+            sp[f"bn{ci}"], ss[f"bn{ci}"] = _bn(sd, f"stage{si + 1}_encoder.{3 * ci + 1}")
+        bb_p[f"stage{si + 1}"] = sp
+        bb_s[f"stage{si + 1}"] = ss
+    params["backbone"] = bb_p
+    stats["backbone"] = bb_s
+
+    dec_counts = (3, 3, 3, 2, 2)
+    for si, n in enumerate(dec_counts):
+        dp: Dict = {}
+        ds: Dict = {}
+        for ci in range(n):
+            t = f"stage{si + 1}_decoder.{3 * ci}"
+            dp[f"conv{ci}"] = {"kernel": _conv(sd[f"{t}.weight"]),
+                               "bias": _vec(sd[f"{t}.bias"])}
+            dp[f"bn{ci}"], ds[f"bn{ci}"] = _bn(sd, f"stage{si + 1}_decoder.{3 * ci + 1}")
+        params[f"decoder{si + 1}"] = dp
+        stats[f"decoder{si + 1}"] = ds
+    params["classifier"] = {"kernel": _conv(sd["stage5_decoder.6.weight"]),
+                            "bias": _vec(sd["stage5_decoder.6.bias"])}
+    return params, stats
+
+
+def convert_segresnet(state_dict: Dict) -> Tuple[Dict, Dict]:
+    """Reference SegResNet (models/segnet.py:200-277) -> segtpu SegResNet.
+
+    Encoder = torchvision resnet50 re-packed as first_conv (stem) + encoder
+    (layer Sequentials); decoder = reversed untrained blocks + Decoder/Last
+    bottlenecks (:216-231); last_conv = ConvTranspose + classifier."""
+    sd = state_dict
+    params: Dict = {}
+    stats: Dict = {}
+    params["backbone_stem_conv"] = {"kernel": _conv(sd["first_conv.0.weight"])}
+    params["backbone_stem_bn"], stats["backbone_stem_bn"] = _bn(sd, "first_conv.1")
+
+    def bottleneck(name, t, transposed_conv2=False, shortcut=None):
+        bp: Dict = {}
+        bs: Dict = {}
+        for ci in (1, 2, 3):
+            w = sd[f"{t}.conv{ci}.weight"]
+            bp[f"conv{ci}"] = {
+                "kernel": _convT(w) if (transposed_conv2 and ci == 2) else _conv(w)}
+            bp[f"bn{ci}"], bs[f"bn{ci}"] = _bn(sd, f"{t}.bn{ci}")
+        if shortcut == "downsample":
+            bp["downsample_conv"] = {"kernel": _conv(sd[f"{t}.downsample.0.weight"])}
+            bp["downsample_bn"], bs["downsample_bn"] = _bn(sd, f"{t}.downsample.1")
+        elif shortcut == "transposed":
+            bp["shortcut_conv"] = {"kernel": _convT(sd[f"{t}.downsample.0.weight"])}
+            bp["shortcut_bn"], bs["shortcut_bn"] = _bn(sd, f"{t}.downsample.1")
+        elif shortcut == "plain":
+            bp["shortcut_conv"] = {"kernel": _conv(sd[f"{t}.downsample.0.weight"])}
+            bp["shortcut_bn"], bs["shortcut_bn"] = _bn(sd, f"{t}.downsample.1")
+        params[name] = bp
+        stats[name] = bs
+
+    counts = (3, 4, 6, 3)
+    for li in range(4):
+        for bi in range(counts[li]):
+            t = f"encoder.{li}.{bi}"
+            bottleneck(f"backbone_layer{li + 1}_{bi}", t,
+                       shortcut="downsample"
+                       if f"{t}.downsample.0.weight" in sd else None)
+
+    dec_reps = (2, 5, 3)
+    for si, reps in enumerate(dec_reps):
+        for bi in range(reps):
+            bottleneck(f"decoder{si + 1}_{bi}", f"decoder.{si}.{bi}")
+        bottleneck(f"decoder{si + 1}_up", f"decoder.{si}.{reps}",
+                   transposed_conv2=True, shortcut="transposed")
+    for bi in range(2):
+        bottleneck(f"decoder4_{bi}", f"decoder.3.{bi}")
+    bottleneck("decoder4_last", "decoder.3.2", shortcut="plain")
+
+    params["last_up"] = {"kernel": _convT(sd["last_conv.0.weight"])}
+    params["classifier"] = {"kernel": _conv(sd["last_conv.1.weight"]),
+                            "bias": _vec(sd["last_conv.1.bias"])}
+    return params, stats
+
+
+def convert_duc_hdc(state_dict: Dict, arch: str = "resnet101"
+                    ) -> Tuple[Dict, Dict]:
+    """Reference DeepLab_DUC_HDC (models/duc_hdc.py:214-244) -> segtpu.
+
+    Backbone under ``layer0``/``layerX`` (:59-75); 6-branch ASSP (:126-174);
+    decoder with its inner DUC(x2) (:180-208); DUC_out(x4) head (:223)."""
+    sd = state_dict
+    bb = {k[len("backbone."):]: v for k, v in sd.items()
+          if k.startswith("backbone.")}
+    bparams, bstats = _initial_resnet_backbone(bb, arch, initial="layer0")
+    params: Dict = {"backbone": bparams}
+    stats: Dict = {"backbone": bstats}
+
+    ap: Dict = {}
+    asr: Dict = {}
+    for i in range(1, 7):
+        ap[f"aspp{i}_conv"] = {"kernel": _conv(sd[f"ASSP.aspp{i}.0.weight"])}
+        ap[f"aspp{i}_bn"], asr[f"aspp{i}_bn"] = _bn(sd, f"ASSP.aspp{i}.1")
+    ap["pool_conv"] = {"kernel": _conv(sd["ASSP.avg_pool.1.weight"])}
+    ap["pool_bn"], asr["pool_bn"] = _bn(sd, "ASSP.avg_pool.2")
+    ap["project_conv"] = {"kernel": _conv(sd["ASSP.conv1.weight"])}
+    ap["project_bn"], asr["project_bn"] = _bn(sd, "ASSP.bn1")
+    params["aspp"] = ap
+    stats["aspp"] = asr
+
+    dp: Dict = {}
+    ds: Dict = {}
+    dp["ll_conv"] = {"kernel": _conv(sd["decoder.conv1.weight"])}
+    dp["ll_bn"], ds["ll_bn"] = _bn(sd, "decoder.bn1")
+    dp["duc"] = {"conv": {"kernel": _conv(sd["decoder.DUC.conv.weight"])}}
+    duc_bn_p, duc_bn_s = _bn(sd, "decoder.DUC.bn")
+    dp["duc"]["bn"] = duc_bn_p
+    ds["duc"] = {"bn": duc_bn_s}
+    dp["conv1"] = {"kernel": _conv(sd["decoder.output.0.weight"])}
+    dp["bn1"], ds["bn1"] = _bn(sd, "decoder.output.1")
+    dp["conv2"] = {"kernel": _conv(sd["decoder.output.3.weight"])}
+    dp["bn2"], ds["bn2"] = _bn(sd, "decoder.output.4")
+    dp["classifier"] = {"kernel": _conv(sd["decoder.output.7.weight"]),
+                        "bias": _vec(sd["decoder.output.7.bias"])}
+    params["decoder"] = dp
+    stats["decoder"] = ds
+
+    params["duc_out"] = {"conv": {"kernel": _conv(sd["DUC_out.conv.weight"])}}
+    out_bn_p, out_bn_s = _bn(sd, "DUC_out.bn")
+    params["duc_out"]["bn"] = out_bn_p
+    stats["duc_out"] = {"bn": out_bn_s}
+    return params, stats
+
+
+def convert_pspdensenet(state_dict: Dict, arch: str = "densenet201",
+                        pretrained_stem: bool = False) -> Tuple[Dict, Dict]:
+    """Reference PSPDenseNet (models/pspnet.py:115-205) -> segtpu PSPDenseNet.
+
+    Backbone = densenet blocks re-attached as block1..4/transition1..3 (the
+    transition2/3 pools dropped, :145-148); stem = block0 (3x3-stack when
+    trained from scratch, :125-135, or the re-sliced densenet stem);
+    head/aux identical in shape to PSPNet's."""
+    sd = state_dict
+    from segtpu.backbones.densenet import DENSENET_CONFIG
+
+    growth, blocks, _stem = DENSENET_CONFIG[arch]
+    bp: Dict = {}
+    bs: Dict = {}
+    if pretrained_stem:
+        bp["stem_conv"] = {"kernel": _conv(sd["block0.0.weight"])}
+        bp["stem_bn"], bs["stem_bn"] = _bn(sd, "block0.1")
+    else:
+        for i, (c, b) in enumerate(((0, 1), (3, 4), (6, 7))):
+            bp[f"stem_conv{i}"] = {"kernel": _conv(sd[f"block0.{c}.weight"])}
+            bp[f"stem_bn{i}"], bs[f"stem_bn{i}"] = _bn(sd, f"block0.{b}")
+
+    for bi in range(4):
+        blk_p: Dict = {}
+        blk_s: Dict = {}
+        for li in range(blocks[bi]):
+            t = f"block{bi + 1}.denselayer{li + 1}"
+            lp: Dict = {}
+            ls: Dict = {}
+            for norm, conv in (("norm1", "conv1"), ("norm2", "conv2")):
+                lp[norm], ls[norm] = _bn(sd, f"{t}.{norm}")
+                lp[conv] = {"kernel": _conv(sd[f"{t}.{conv}.weight"])}
+            blk_p[f"denselayer{li + 1}"] = lp
+            blk_s[f"denselayer{li + 1}"] = ls
+        bp[f"denseblock{bi + 1}"] = blk_p
+        bs[f"denseblock{bi + 1}"] = blk_s
+    # transition1 keeps the full module (norm/conv names); 2/3 are re-sliced
+    # Sequentials (norm at 0, conv at 2)
+    bp["transition1"] = {"conv": {"kernel": _conv(sd["transition1.conv.weight"])}}
+    t1n_p, t1n_s = _bn(sd, "transition1.norm")
+    bp["transition1"]["norm"] = t1n_p
+    bs["transition1"] = {"norm": t1n_s}
+    for i in (2, 3):
+        bp[f"transition{i}"] = {
+            "conv": {"kernel": _conv(sd[f"transition{i}.2.weight"])}}
+        tn_p, tn_s = _bn(sd, f"transition{i}.0")
+        bp[f"transition{i}"]["norm"] = tn_p
+        bs[f"transition{i}"] = {"norm": tn_s}
+    params: Dict = {"backbone": bp}
+    stats: Dict = {"backbone": bs}
+
+    pp: Dict = {}
+    ps: Dict = {}
+    for i in range(4):
+        t = f"master_branch.0.stages.{i}"
+        pp[f"stage{i}_conv"] = {"kernel": _conv(sd[f"{t}.1.weight"])}
+        pp[f"stage{i}_bn"], ps[f"stage{i}_bn"] = _bn(sd, f"{t}.2")
+    pp["bottleneck_conv"] = {
+        "kernel": _conv(sd["master_branch.0.bottleneck.0.weight"])}
+    pp["bottleneck_bn"], ps["bottleneck_bn"] = _bn(
+        sd, "master_branch.0.bottleneck.1")
+    params["psp"] = pp
+    stats["psp"] = ps
+    params["classifier"] = {"kernel": _conv(sd["master_branch.1.weight"]),
+                            "bias": _vec(sd["master_branch.1.bias"])}
+
+    aux_p: Dict = {"conv": {"kernel": _conv(sd["auxiliary_branch.0.weight"])}}
+    aux_s: Dict = {}
+    aux_p["bn"], aux_s["bn"] = _bn(sd, "auxiliary_branch.1")
+    aux_p["classifier"] = {"kernel": _conv(sd["auxiliary_branch.4.weight"]),
+                           "bias": _vec(sd["auxiliary_branch.4.bias"])}
+    params["aux_branch"] = aux_p
+    stats["aux_branch"] = aux_s
     return params, stats
 
 
@@ -462,7 +861,16 @@ CONVERTERS = {
 
 MODEL_CONVERTERS = {
     "UNet": convert_unet,
+    "UNetResnet": convert_unet_resnet,
     "ENet": convert_enet,
     "PSPNet": convert_pspnet,
+    "PSPDenseNet": convert_pspdensenet,
     "DeepLab": convert_deeplab_xception,
+    "DeepLab-resnet": convert_deeplab_resnet,
+    "FCN8": convert_fcn8,
+    "SegNet": convert_segnet,
+    "SegResNet": convert_segresnet,
+    "GCN": convert_gcn,
+    "UperNet": convert_upernet,
+    "DeepLab_DUC_HDC": convert_duc_hdc,
 }

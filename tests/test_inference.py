@@ -33,6 +33,32 @@ def test_sliding_flip_is_exact_for_equivariant_model():
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
 
 
+def test_sliding_chunked_matches_unchunked_at_cityscapes_size():
+    """Chunked tile batches (bounded HBM) must be bit-identical to the
+    one-big-batch path at real Cityscapes eval geometry (1024x2048 -> ~32
+    tiles x2 flip), and must observe the cap with ONE compiled shape."""
+    img = np.random.default_rng(3).normal(size=(1024, 2048, 3)).astype(
+        np.float32)
+
+    seen_batches = []
+
+    def tracking_predictor(x):
+        seen_batches.append(len(x))
+        return _linear_predictor(x)
+
+    out_unchunked = sliding_predict(_linear_predictor, img, NC, flip=True,
+                                    max_tile_batch=None)
+    out_chunked = sliding_predict(tracking_predictor, img, NC, flip=True,
+                                  max_tile_batch=8)
+    np.testing.assert_array_equal(out_chunked, out_unchunked)
+    assert len(set(seen_batches)) == 1 and seen_batches[0] == 8, seen_batches
+
+    # multiscale over a chunk-capped sliding predictor stays finite too
+    out_ms = multi_scale_predict(_linear_predictor, img[:128, :256], [0.75, 1.0],
+                                 NC, flip=True)
+    assert np.isfinite(out_ms).all()
+
+
 def test_multi_scale_shapes_and_identity_scale():
     img = np.random.default_rng(2).normal(size=(32, 48, 3)).astype(np.float32)
     out = multi_scale_predict(_linear_predictor, img, [1.0], NC)

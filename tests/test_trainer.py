@@ -231,3 +231,90 @@ def test_checkpoint_meta_preserves_unset_monitor(tmp_path):
                     monitor_best=0.37, config={}, arch="UNet")
     meta2 = json.load(open(tmp_path / "ck2" / "meta.json"))
     assert meta2["monitor_best"] == pytest.approx(0.37)
+
+
+def test_trainer_parallelism_from_config(tmp_path):
+    """VERDICT-r2 #4: the beyond-parity parallelism/memory knobs must be
+    reachable from config.json alone — trainer.devices=4 + model_parallel=2
+    builds a 2x2 (data x model) mesh, TP-shards the state onto it (BOTH
+    steps get the sharding tree, eval included), spatial shards H over the
+    model axis, and remat wraps the forward. Loss finite, LRs logged from
+    the applied schedules, checkpoints round-trip."""
+    config = _config(tmp_path, epochs=1)
+    config["trainer"].update({"devices": 4, "model_parallel": 2,
+                              "spatial": True, "remat": True})
+    train_loader, val_loader = _loaders()
+    model = get_model("UNet", num_classes=6)
+    logger = Logger()
+    trainer = Trainer(model=model, loss="CrossEntropyLoss2d", config=config,
+                      train_loader=train_loader, val_loader=val_loader,
+                      train_logger=logger, compute_dtype=jnp.float32)
+    assert dict(trainer.mesh.shape) == {"data": 2, "model": 2}
+    assert trainer.state_sharding is not None
+    # the big UNet kernels actually sharded over the model axis
+    import flax.traverse_util as tu
+    from jax.sharding import PartitionSpec as P
+
+    specs = {k: v.spec for k, v in
+             tu.flatten_dict(trainer.state_sharding.params).items()}
+    sharded = [k for k, s in specs.items() if s == P(None, None, None, "model")]
+    assert sharded, "expected at least one TP-sharded conv kernel"
+
+    trainer.train()
+    entry = list(logger.entries.values())[-1]
+    assert math.isfinite(entry["val_loss"])
+    assert math.isfinite(entry["Mean_IoU"])
+    # applied-LR logging: schedules evaluated at the optimizer's own count
+    lrs = trainer._current_lrs()
+    assert len(lrs) == 2 and lrs[1] == pytest.approx(lrs[0] * 0.1)
+
+    # checkpoint round-trips under TP sharding
+    train2, val2 = _loaders()
+    trainer2 = Trainer(model=get_model("UNet", num_classes=6), config=config,
+                       loss="CrossEntropyLoss2d", train_loader=train2,
+                       val_loader=val2, train_logger=Logger(),
+                       compute_dtype=jnp.float32,
+                       resume=os.path.join(trainer.checkpoint_dir,
+                                           "checkpoint-epoch1"))
+    assert trainer2.start_epoch == 2
+    import jax as _jax
+
+    a = tu.flatten_dict(_jax.tree_util.tree_map(np.asarray,
+                                                trainer.state.params))
+    b = tu.flatten_dict(_jax.tree_util.tree_map(np.asarray,
+                                                trainer2.state.params))
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k])
+
+
+def test_val_loss_weights_padded_tail(tmp_path):
+    """VERDICT-r2 #8: val_loss is the valid-pixel-weighted mean, so the
+    padded tail batch of a non-divisible val set cannot bias it. With 10
+    samples at batch 8, the tail batch is 2 real + 6 all-ignore pads; the
+    weighted val_loss must equal the loss computed over ONLY valid pixels
+    globally (here: all batches equal content => equal to any batch's
+    valid-mean), not the equal-weight batch mean."""
+    config = _config(tmp_path, epochs=1)
+    train_loader, _ = _loaders()
+    # 10 val samples -> 2 batches of 8 (tail padded with -100 labels)
+    val = Synthetic(batch_size=8, size=10, num_classes=6, image_hw=72,
+                    crop_size=64, split="val", val=True, augment=False,
+                    shuffle=False)
+    model = get_model("UNet", num_classes=6)
+    logger = Logger()
+    trainer = Trainer(model=model, loss="CrossEntropyLoss2d", config=config,
+                      train_loader=train_loader, val_loader=val,
+                      train_logger=logger, mesh=_small_mesh(),
+                      compute_dtype=jnp.float32)
+    results = trainer._valid_epoch(1)
+    assert math.isfinite(results["val_loss"])
+
+    # recompute ground truth: valid-pixel-weighted mean over the same stream
+    from segtpu.data.base import DevicePrefetcher
+
+    total, weight = 0.0, 0.0
+    for images, labels in DevicePrefetcher(val, trainer.mesh):
+        loss, stats = trainer.eval_step(trainer.state, images, labels)
+        total += float(loss) * float(stats.labeled)
+        weight += float(stats.labeled)
+    assert results["val_loss"] == pytest.approx(total / weight, abs=1e-3)
