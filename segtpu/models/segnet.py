@@ -19,7 +19,8 @@ import jax.numpy as jnp
 
 from segtpu.backbones.vgg import VGG16BNEncoderWithIndices
 from segtpu.nn.layers import BatchNorm, Conv, ConvTranspose, kaiming_normal_init
-from segtpu.ops.pooling import max_pool_argmax, max_unpool
+from segtpu.ops.pooling import (max_pool_argmax, max_pool_argmax_flat,
+                                max_unpool, max_unpool_flat)
 
 
 def _zero_bias(key, shape, dtype=jnp.float32):
@@ -159,14 +160,13 @@ class SegResNet(nn.Module):
         bn_train = train and not self.freeze_bn
         H, W = x.shape[1], x.shape[2]
 
-        # Encoder stem with indices
+        # Encoder stem with indices — torchvision's 3x3/s2/p1 pool with
+        # return_indices, reproduced exactly (flat per-channel argmax
+        # positions, ops/pooling.py::max_pool_argmax_flat)
         y = Conv(64, 7, 2, 3, use_bias=False, name="backbone_stem_conv")(x)
         y = BatchNorm(name="backbone_stem_bn")(y, use_running_average=not bn_train)
         y = nn.relu(y)
-        pre_hw = (y.shape[1], y.shape[2])
-        # torchvision stem pool is 3x3/s2/p1 with return_indices; the 2x2
-        # argmax formulation keeps indices static-shaped (ops/pooling.py).
-        y, idx = max_pool_argmax(y)
+        y, idx = max_pool_argmax_flat(y, window=3, stride=2, padding=1)
 
         counts = (3, 4, 6, 3)
         widths = (64, 128, 256, 512)
@@ -194,17 +194,27 @@ class SegResNet(nn.Module):
                                     name=f"decoder4_{bi}")(y, train=bn_train)
         y = _LastBottleneck(256, name="decoder4_last")(y, train=bn_train)
 
-        # align to the POOLED grid (idx shape) — odd inputs make the argmax
-        # pool pad up, so pre_hw//2 under-counts by one (reference
-        # models/segnet.py:246-252 does an equivalent ceil-crop)
-        gh, gw = idx.shape[1], idx.shape[2]
-        if y.shape[1:3] != (gh, gw):
-            from segtpu.ops.shape import pad_or_crop_tl
-
-            y = pad_or_crop_tl(y, gh, gw)
-        y = max_unpool(y, idx, output_size=pre_hw)
+        # Reference-exact epilogue (models/segnet.py:240-262): ceil-crop the
+        # decoder output to the pooled grid, unpool to 2x via the saved flat
+        # indices, ConvTranspose + classifier, center-crop to the input.
+        ih, iw = idx.shape[1], idx.shape[2]
+        yh, yw = y.shape[1], y.shape[2]
+        hd = -(-(yh - ih) // 2)
+        wd = -(-(yw - iw) // 2)
+        if (yh, yw) != (ih, iw):
+            if ih % 2 == 1:
+                y = y[:, hd:yh - (hd - 1), wd:yw - (wd - 1)]
+            else:
+                y = y[:, hd:yh - hd, wd:yw - wd]
+        y = max_unpool_flat(y, idx, (2 * ih, 2 * iw))
         y = ConvTranspose(64, 2, 2, use_bias=False, name="last_up")(y)
         out = Conv(self.num_classes, 3, padding=1, name="classifier")(y)
         if out.shape[1] != H or out.shape[2] != W:
-            out = out[:, :H, :W, :]
+            hd = (out.shape[1] - H) // 2
+            wd = (out.shape[2] - W) // 2
+            out = out[:, hd:out.shape[1] - hd, wd:out.shape[2] - wd]
+            if hd % 2 != 0:
+                out = out[:, :-1]
+            if wd % 2 != 0:
+                out = out[:, :, :-1]
         return {"out": out}

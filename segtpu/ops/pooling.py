@@ -191,3 +191,55 @@ def max_unpool(y: jnp.ndarray, idx: jnp.ndarray, output_size=None) -> jnp.ndarra
     if output_size is not None:
         out = out[:, : output_size[0], : output_size[1], :]
     return out
+
+
+def max_pool_argmax_flat(x: jnp.ndarray, window: int = 3, stride: int = 2,
+                         padding: int = 1):
+    """torch ``max_pool2d(..., return_indices=True)`` semantics for
+    OVERLAPPING windows: returns (pooled, idx) where ``idx`` is the FLAT
+    row-major position (h*W + w) of each window's max in the unpadded input
+    plane, per channel — exactly what ``F.max_unpool2d`` consumes
+    (SegResNet's stem pool, reference models/segnet.py:209,246-253).
+
+    Scatter-free: one strided slice per window tap, running (val, idx) max
+    with strictly-greater updates so ties resolve to the first row-major
+    tap, matching torch's scan order.
+    """
+    b, h, w, c = x.shape
+    neg = jnp.asarray(-jnp.inf, x.dtype)
+    xp = jnp.pad(x, ((0, 0), (padding, padding + window),
+                     (padding, padding + window), (0, 0)),
+                 constant_values=neg)
+    ho = (h + 2 * padding - window) // stride + 1
+    wo = (w + 2 * padding - window) // stride + 1
+    rows = jnp.arange(ho) * stride - padding  # top-left of each window
+    cols = jnp.arange(wo) * stride - padding
+    best_val = jnp.full((b, ho, wo, c), neg, x.dtype)
+    best_idx = jnp.zeros((b, ho, wo, c), jnp.int32)
+    for dh in range(window):
+        for dw in range(window):
+            v = jax.lax.slice(
+                xp, (0, dh, dw, 0),
+                (b, dh + (ho - 1) * stride + 1,
+                 dw + (wo - 1) * stride + 1, c),
+                (1, stride, stride, 1))
+            flat = ((rows + dh)[:, None] * w + (cols + dw)[None, :])
+            flat = flat[None, :, :, None].astype(jnp.int32)
+            better = v > best_val
+            best_val = jnp.where(better, v, best_val)
+            best_idx = jnp.where(better, flat, best_idx)
+    return best_val, best_idx
+
+
+def max_unpool_flat(y: jnp.ndarray, idx: jnp.ndarray, output_hw) -> jnp.ndarray:
+    """torch ``F.max_unpool2d``: scatter each value of ``y`` to its flat
+    ``idx`` position in a zeros (B, OH, OW, C) canvas. Duplicate indices
+    (one input position winning several overlapping windows) carry equal
+    values, so write order is immaterial."""
+    b, ho, wo, c = y.shape
+    oh, ow = output_hw
+    flat = jnp.zeros((b, oh * ow, c), y.dtype)
+    b_idx = jnp.broadcast_to(jnp.arange(b)[:, None, None, None], idx.shape)
+    c_idx = jnp.broadcast_to(jnp.arange(c)[None, None, None, :], idx.shape)
+    flat = flat.at[b_idx, idx, c_idx].set(y)
+    return flat.reshape(b, oh, ow, c)

@@ -194,6 +194,16 @@ def test_segnet_full_model_parity(ref):
     _compare(ref_model, seg_model, wc.convert_segnet, atol=5e-4)
 
 
+def test_segresnet_full_model_parity(ref):
+    """SegResNet over the vendored resnet50 (reference models/segnet.py:203)
+    — pins the mirrored-decoder rebuild (:216-231), the 3x3/s2/p1 stem pool
+    with return_indices, and the flat-index unpool epilogue (:240-253)."""
+    torch.manual_seed(0)
+    ref_model = ref.SegResNet(num_classes=7, pretrained=False)
+    seg_model = get_model("SegResNet", num_classes=7)
+    _compare(ref_model, seg_model, wc.convert_segresnet, atol=5e-4)
+
+
 def test_gcn_full_model_parity(ref):
     _fix_ref_globals("gcn")
     torch.manual_seed(0)
