@@ -152,6 +152,24 @@ def _layer_plan(
     return tuple(strides), dil
 
 
+class _PallasStemConv(nn.Module):
+    """Stride-2 bias-free stem conv whose weight gradient is the Pallas
+    space-to-depth wgrad kernel. Same param name/shape/init as the plain
+    Conv it replaces, so checkpoints and TP sharding trees are unaffected."""
+
+    features: int
+    kernel_size: int
+
+    @nn.compact
+    def __call__(self, x):
+        from segtpu.ops.conv_wgrad import pallas_stem_conv
+
+        k = self.kernel_size
+        kern = self.param("kernel", _he_fanout_init,
+                          (k, k, x.shape[-1], self.features))
+        return pallas_stem_conv(x, kern, k)
+
+
 class ResNetFeatures(nn.Module):
     """ResNet encoder returning the four stage feature maps.
 
@@ -179,6 +197,12 @@ class ResNetFeatures(nn.Module):
     # the per-block granularity jax.checkpoint can't get from outside the
     # model (whole-function remat measured a net loss, CLAUDE.md).
     remat_blocks: bool = False
+    # Route the FIRST stem conv's weight gradient through the Pallas
+    # space-to-depth wgrad kernel (ops/conv_wgrad.py) — the small-C stride-2
+    # wgrad is the one shape XLA's emitter handles worst (README roofline).
+    # Only valid when this backbone consumes the MODEL INPUT directly (the
+    # kernel returns a zero input-cotangent, dead code for data).
+    pallas_stem_wgrad: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -187,10 +211,15 @@ class ResNetFeatures(nn.Module):
         strides, dils = _layer_plan(self.arch, self.style, self.output_stride,
                                     self.multi_grid, self.hdc)
 
+        use_pallas_stem = self.pallas_stem_wgrad and self.stem_stride == 2
+
         # Stem
         if deep_base:
-            y = Conv(64, 3, self.stem_stride, 1, use_bias=False,
-                     kernel_init=_he_fanout_init, name="stem_conv1")(x)
+            if use_pallas_stem:
+                y = _PallasStemConv(64, 3, name="stem_conv1")(x)
+            else:
+                y = Conv(64, 3, self.stem_stride, 1, use_bias=False,
+                         kernel_init=_he_fanout_init, name="stem_conv1")(x)
             y = BatchNorm(name="stem_bn1")(y, use_running_average=not train)
             y = nn.relu(y)
             y = Conv(64, 3, 1, 1, use_bias=False,
@@ -200,8 +229,11 @@ class ResNetFeatures(nn.Module):
             y = Conv(128, 3, 1, 1, use_bias=False,
                      kernel_init=_he_fanout_init, name="stem_conv3")(y)
         else:
-            y = Conv(64, 7, self.stem_stride, 3, use_bias=False,
-                     kernel_init=_he_fanout_init, name="stem_conv1")(x)
+            if use_pallas_stem:
+                y = _PallasStemConv(64, 7, name="stem_conv1")(x)
+            else:
+                y = Conv(64, 7, self.stem_stride, 3, use_bias=False,
+                         kernel_init=_he_fanout_init, name="stem_conv1")(x)
         y = BatchNorm(name="stem_bn")(y, use_running_average=not train)
         y = nn.relu(y)
         y = max_pool(y, 3, 2, padding=1)

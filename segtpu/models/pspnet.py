@@ -52,6 +52,7 @@ class PSPNet(nn.Module):
     freeze_bn: bool = False
     freeze_backbone: bool = False
     remat_backbone: bool = False  # per-block remat: bigger batches/crops
+    pallas_stem_wgrad: bool = False  # Pallas wgrad for the first stem conv
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -59,6 +60,7 @@ class PSPNet(nn.Module):
         H, W = x.shape[1], x.shape[2]
         feats = ResNetFeatures(arch=self.backbone, style="encoding",
                                remat_blocks=self.remat_backbone,
+                               pallas_stem_wgrad=self.pallas_stem_wgrad,
                                name="backbone")(x, train=bn_train)
         x_aux, y = feats[2], feats[3]
         m_out = y.shape[-1]
