@@ -77,4 +77,10 @@ for label, name, kwargs, batch, train in CASES:
     except Exception as e:
         print(f"{label}: FAILED {type(e).__name__}: {str(e)[:160]}",
               flush=True)
-    del state, im, lb
+    # Free EVERYTHING between cases: a leftover compiled executable + loss
+    # buffer kept prior cases' HBM alive and depressed the eval cases run
+    # late in the sweep by ~25% (measured: eval bs8 122 img/s in-sweep vs
+    # 161 in a fresh process). gc before the next allocation restores it.
+    for _v in ("state", "im", "lb", "compiled", "run", "loss", "model", "tx"):
+        globals().pop(_v, None)
+    import gc; gc.collect()
