@@ -114,7 +114,10 @@ def test_differential_lr_scales_backbone_updates():
     flat0 = flax.traverse_util.flatten_dict(p0)
     flat1 = flax.traverse_util.flatten_dict(
         jax.tree_util.tree_map(np.asarray, state.params))
-    poly0 = (1 - 0 / 10) ** 0.9  # schedule factor at step 0
+    # Schedule factor APPLIED at update 0: torch's _LRScheduler consumes
+    # T=0 at construction, so the first applied factor is T=1 (schedules.py
+    # T=t+1 indexing, pinned by test_training_dynamics_parity).
+    poly0 = (1 - 1 / 10) ** 0.9
 
     bb = [k for k in flat0 if k[0] == "backbone" and np.abs(flat1[k] - flat0[k]).max() > 0]
     dec = [k for k in flat0 if k[0] != "backbone" and np.abs(flat1[k] - flat0[k]).max() > 0]
