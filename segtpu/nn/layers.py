@@ -17,6 +17,7 @@ Design notes (TPU-first):
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Callable, Optional, Tuple, Union
 
 import flax.linen as nn
@@ -24,6 +25,15 @@ import jax
 import jax.numpy as jnp
 
 Dtype = Any
+
+# Route 1x1/stride-1 convs through lax.dot_general instead of the conv
+# emitter (see Conv.__call__). MEASURED LOSER, so default OFF: in the full
+# PSPNet-R50 769^2 bs8 train step the dot form ran 216 ms/step vs 200 for
+# the conv emission (scripts/conv1x1_ab.py, both the flattened-2D and the
+# direct 4-D contraction variants) — XLA's conv emitter wins in context
+# even though the op-stats table shows those convs at half peak; the
+# "slack" is input fusions the dot path loses. Kept as an escape hatch.
+_ONE_BY_ONE_AS_DOT = os.environ.get("SEGTPU_1X1_DOT", "0") == "1"
 
 
 def _pair(v) -> Tuple[int, int]:
@@ -95,15 +105,29 @@ class Conv(nn.Module):
         kshape = (kh, kw, in_ch // self.groups, self.features)
         kernel = self.param("kernel", self.kernel_init, kshape)
         dtype = self.dtype or x.dtype
-        y = jax.lax.conv_general_dilated(
-            x.astype(dtype),
-            kernel.astype(dtype),
-            window_strides=(sh, sw),
-            padding=((ph, ph), (pw, pw)),
-            rhs_dilation=(dh, dw),
-            feature_group_count=self.groups,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        if (_ONE_BY_ONE_AS_DOT and kh == kw == 1 and (sh, sw) == (1, 1)
+                and (ph, pw) == (0, 0) and self.groups == 1):
+            # 1x1/s1 conv IS (NHW, C) @ (C, O). XLA:TPU's dot emitter tiles
+            # this far better than its conv emitter at small/medium C: the
+            # round-3 profile had 1x1 conv backwards at 94-107 TFLOP/s where
+            # the same contraction as a dot runs near the 197 peak. The
+            # flattening reshape is contiguous (free), and autodiff of a dot
+            # yields dots — the whole bwd leaves the conv emitter too.
+            y = jax.lax.dot_general(
+                x.astype(dtype),
+                kernel.astype(dtype).reshape(in_ch, self.features),
+                dimension_numbers=(((3,), (0,)), ((), ())),
+            )
+        else:
+            y = jax.lax.conv_general_dilated(
+                x.astype(dtype),
+                kernel.astype(dtype),
+                window_strides=(sh, sw),
+                padding=((ph, ph), (pw, pw)),
+                rhs_dilation=(dh, dw),
+                feature_group_count=self.groups,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
         if self.use_bias:
             fan_in = kh * kw * (in_ch // self.groups)
             bias_init = self.bias_init or torch_conv_bias_init(fan_in)
