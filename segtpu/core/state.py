@@ -122,11 +122,11 @@ def make_optimizer_with_schedules(
 ):
     """Like :func:`make_optimizer` but also returns the per-group LR schedule
     closures ``[decoder_sched, backbone_sched?]`` — the EXACT callables baked
-    into ``optax.scale_by_learning_rate``, evaluated by the optimizer at its
-    own update count (== ``TrainState.step``). The trainer logs LRs by
-    evaluating these at ``state.step``, so logged == applied by construction
-    (the reference logs ``param_group['lr']``, i.e. ground truth —
-    reference trainer.py:94-99)."""
+    into ``optax.scale_by_learning_rate``. optax scales update t by
+    ``sched(t)``, so after N updates the last APPLIED rate is ``sched(N-1)``
+    — the trainer logs that (``Trainer._current_lrs``), which is also what
+    the reference's ``param_group['lr']`` holds at its epoch-end log
+    (scheduler stepped before each update — reference trainer.py:52,99)."""
     scheduler_args = dict(scheduler_args or {})
     mom_schedule = None
     if scheduler_type == "OneCycle":
@@ -143,17 +143,18 @@ def make_optimizer_with_schedules(
                       momentum_schedule=mom_schedule)
 
     decoder_tx = make(lr_sched, **kwargs)
+    backbone_sched = (lambda s: lr_sched(s) * 0.1)
     schedules = [lr_sched]
     if differential_lr:
         # Reference parity (base_trainer.py:46-53, trainer.py:94-99): with
         # differential_lr there are ALWAYS two param groups — backbone at
         # 0.1x — and upstream logs the group's lr even when the backbone is
-        # frozen (it filters the params but keeps the group).
-        schedules.append(lambda s: lr_sched(s) * 0.1)
+        # frozen (it filters the params but keeps the group). ONE closure
+        # serves both the log list and the transform, so they can't drift.
+        schedules.append(backbone_sched)
     if freeze_backbone:
         backbone_tx = optax.set_to_zero()
     elif differential_lr:
-        backbone_sched = (lambda s: lr_sched(s) * 0.1)
         backbone_tx = make(backbone_sched, **kwargs)
     else:
         backbone_tx = decoder_tx

@@ -317,6 +317,18 @@ class DataLoader:
             return
         self.num_shards = jax.process_count()
         self.shard_index = jax.process_index()
+        if self.num_shards > 1 and not self.dataset.crop_size:
+            # Pod lockstep assembles every per-host batch into one global
+            # jax.Array (core.mesh.shard_batch), so ALL hosts must yield the
+            # same static shape every step — including the all-sentinel pad
+            # batches of a tiny tail shard. Variable-size images (crop_size
+            # None) cannot satisfy that; fail loudly instead of hanging the
+            # pod at the first mismatched collective.
+            raise ValueError(
+                "multi-host (pod) input sharding requires a static "
+                "crop_size on the dataset (got crop_size="
+                f"{self.dataset.crop_size!r}): variable per-image shapes "
+                "cannot keep hosts in lockstep")
 
     def __len__(self):
         self._resolve_shards()

@@ -233,9 +233,15 @@ def max_pool_argmax_flat(x: jnp.ndarray, window: int = 3, stride: int = 2,
 
 def max_unpool_flat(y: jnp.ndarray, idx: jnp.ndarray, output_hw) -> jnp.ndarray:
     """torch ``F.max_unpool2d``: scatter each value of ``y`` to its flat
-    ``idx`` position in a zeros (B, OH, OW, C) canvas. Duplicate indices
-    (one input position winning several overlapping windows) carry equal
-    values, so write order is immaterial."""
+    ``idx`` position in a zeros (B, OH, OW, C) canvas.
+
+    Duplicate indices (one input position winning several overlapping
+    windows) can carry UNEQUAL values at SegResNet's call site — the
+    scattered tensor is the decoder output, not the pooled maxima — and
+    XLA scatter leaves the winning write unspecified, as does torch itself
+    across backends (CPU unpool is last-write-wins in scan order; CUDA is
+    racy). Divergence is confined to those rare pixels; the CPU parity
+    test agrees bit-wise with torch-CPU on its fixtures."""
     b, ho, wo, c = y.shape
     oh, ow = output_hw
     flat = jnp.zeros((b, oh * ow, c), y.dtype)

@@ -339,11 +339,13 @@ class Trainer:
     def _current_lrs(self):
         """Per-group learning rates AS APPLIED: evaluates the exact schedule
         closures the optimizer scales updates by (``core.state.
-        make_optimizer_with_schedules``) at the optimizer's own update count
-        (``state.step``). No re-derivation from config, so logged == applied
-        (the reference logs ``param_group['lr']`` — trainer.py:94-99). Group
-        order matches reference base_trainer.py:52-56: [decoder, backbone]."""
-        step = int(self.state.step)
+        make_optimizer_with_schedules``). optax scales update t by sched(t),
+        so after N updates the LAST APPLIED rate is sched(N-1) — which is
+        also exactly what the reference's ``param_group['lr']`` holds at its
+        epoch-end log (scheduler stepped before each update, not after —
+        reference trainer.py:52,99). Group order matches reference
+        base_trainer.py:52-56: [decoder, backbone]."""
+        step = max(int(self.state.step) - 1, 0)
         return [float(s(step)) for s in self.lr_schedules]
 
     # ------------------------------------------------------------------
