@@ -38,7 +38,9 @@ def _per_pixel_ce(logits: jnp.ndarray, target: jnp.ndarray, valid: jnp.ndarray,
     whole train step (measured: 137 ms of a 469 ms PSPNet-769^2 step); the
     one-hot form fuses into the surrounding elementwise ops.
     """
-    logits = logits.astype(jnp.float32)
+    # at-least-float32: bf16 upcasts as before; float64 (x64 parity tests)
+    # stays float64 so gradient noise isn't re-floored at fp32.
+    logits = logits.astype(jnp.promote_types(logits.dtype, jnp.float32))
     safe_target = jnp.where(valid > 0, target, 0).astype(jnp.int32)
     onehot = jax.nn.one_hot(safe_target, logits.shape[-1], dtype=logits.dtype)
     logz = jax.nn.logsumexp(logits, axis=-1)

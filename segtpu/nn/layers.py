@@ -230,10 +230,14 @@ class BatchNorm(nn.Module):
         ra_var = self.variable("batch_stats", "var",
                                lambda: jnp.ones((features,), jnp.float32))
 
+        # at-least-float32 statistics: bf16 activations upcast as before;
+        # float64 (x64 dynamics-parity tests) stays float64 so the BN path
+        # doesn't re-floor gradients at fp32 precision.
+        stat_dtype = jnp.promote_types(x.dtype, jnp.float32)
         if use_ra:
             mean, var = ra_mean.value, ra_var.value
         else:
-            xf = x.astype(jnp.float32)
+            xf = x.astype(stat_dtype)
             axes = tuple(range(x.ndim - 1))
             mean = jnp.mean(xf, axis=axes)
             var = jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mean)
@@ -248,7 +252,7 @@ class BatchNorm(nn.Module):
 
         dtype = self.dtype or x.dtype
         inv = jax.lax.rsqrt(var + self.epsilon) * scale
-        y = (x.astype(jnp.float32) - mean) * inv + bias
+        y = (x.astype(stat_dtype) - mean) * inv + bias
         return y.astype(dtype)
 
 

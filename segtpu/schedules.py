@@ -28,7 +28,10 @@ def poly(base_lr: float, num_epochs: int, iters_per_epoch: int,
     warmup = warmup_epochs * iters_per_epoch
 
     def schedule(step):
-        t = jnp.asarray(step, jnp.float32) + 1.0
+        # result_type(float) is f32 normally, f64 under jax x64 — keeps the
+        # factor exact in the float64 dynamics-parity tests (torch computes
+        # it in python doubles) without changing TPU behavior.
+        t = jnp.asarray(step).astype(jnp.result_type(float)) + 1.0
         factor = jnp.power(jnp.maximum(1.0 - t / total, 0.0), power)
         if warmup > 0:
             factor = jnp.where(t < warmup, t / warmup, factor)
@@ -56,7 +59,7 @@ def one_cycle(base_lr: float, num_epochs: int, iters_per_epoch: int,
     mom_diff = mom_hi - mom_lo
 
     def lr_schedule(step):
-        t = jnp.asarray(step, jnp.float32) + 1.0
+        t = jnp.asarray(step).astype(jnp.result_type(float)) + 1.0
         cos1 = (1.0 + jnp.cos(jnp.pi * jnp.minimum(t, p1) / p1)) / 2.0
         lr1 = base_lr - (base_lr - low_lr) * cos1
         t2 = jnp.clip(t - p1, 0.0, p2)
@@ -65,7 +68,7 @@ def one_cycle(base_lr: float, num_epochs: int, iters_per_epoch: int,
         return jnp.where(t <= p1, lr1, lr2)
 
     def momentum_schedule(step):
-        t = jnp.asarray(step, jnp.float32) + 1.0
+        t = jnp.asarray(step).astype(jnp.result_type(float)) + 1.0
         cos1 = (1.0 + jnp.cos(jnp.pi * jnp.minimum(t, p1) / p1)) / 2.0
         m1 = mom_lo + mom_diff * cos1
         t2 = jnp.clip(t - p1, 0.0, p2)

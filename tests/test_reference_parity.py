@@ -303,15 +303,40 @@ def _flat_pairs(want_tree, got_tree):
     return [("/".join(k), (want[k], got[k])) for k in want]
 
 
-def test_training_dynamics_parity(ref):
-    """20 SGD steps of the FULL reference trainer math vs segtpu's train
-    step: same converted init, same batch stream, SGD(momentum=0.9, wd=1e-4)
-    + the reference's own Poly scheduler stepped per-iteration BEFORE the
-    optimizer (reference trainer.py:52,70-71; base/base_trainer.py:46-58).
-    Asserts per-step loss agreement and final weight/BN-running-stat
-    closeness — the strongest in-sandbox mIoU-parity proxy: forward parity
-    proves the graph; this proves the UPDATE math (momentum convention,
-    weight-decay coupling, BN momentum, schedule indexing) end-to-end."""
+def _run_unet_dynamics(ref, optimizer_type, scheduler_type,
+                       lr=0.05, wd=1e-4, mom=0.9, x64=False,
+                       loss_tol=2e-3, param_tol=5e-3, stats_tol=3e-2):
+    """Shared driver: 20 optimizer steps of the FULL reference trainer math
+    vs segtpu's train step on UNet — same converted init, same batch stream,
+    scheduler stepped per-iteration BEFORE the optimizer (reference
+    trainer.py:52,70-71; base/base_trainer.py:46-58). Asserts per-step loss
+    agreement and final weight/BN-running-stat closeness.
+
+    ``x64=True`` runs BOTH trajectories in float64 (torch ``.double()``,
+    jax x64). Adam needs this: its update ``mhat/(sqrt(vhat)+eps)`` is
+    scale-invariant, so for weight elements whose true gradient sits below
+    the fp32 conv-backward noise floor, torch's and XLA's *different*
+    rounding noise gets amplified into full-lr sign-flipped updates
+    (observed: 5/36864 elements off by ~8*lr after 20 fp32 steps, everything
+    else matching). In f64 the noise floor drops ~1e9x and the comparison
+    becomes a decisive test of the update MATH at tight tolerances."""
+    import jax
+    if not x64:
+        return _unet_dynamics_body(ref, optimizer_type, scheduler_type, lr,
+                                   wd, mom, False, loss_tol, param_tol,
+                                   stats_tol)
+    prev = jax.config.jax_enable_x64
+    jax.config.update("jax_enable_x64", True)
+    try:
+        return _unet_dynamics_body(ref, optimizer_type, scheduler_type, lr,
+                                   wd, mom, True, loss_tol, param_tol,
+                                   stats_tol)
+    finally:
+        jax.config.update("jax_enable_x64", prev)
+
+
+def _unet_dynamics_body(ref, optimizer_type, scheduler_type, lr, wd, mom,
+                        x64, loss_tol, param_tol, stats_tol):
     import jax
 
     import utils.losses as ref_losses  # /root/reference/utils
@@ -323,30 +348,44 @@ def test_training_dynamics_parity(ref):
 
     num_classes, hw, bs = 5, 32, 2
     epochs, iters = 2, 10
-    lr, wd, mom = 0.05, 1e-4, 0.9
+    np_dtype = np.float64 if x64 else np.float32
+    jnp_dtype = jnp.float64 if x64 else jnp.float32
 
     torch.manual_seed(0)
     ref_model = ref.UNet(num_classes=num_classes)
+    if x64:
+        # Snap the double weights onto the float32 grid so the converter's
+        # float32 cast (its production contract — real checkpoints are f32)
+        # is lossless and BOTH trajectories start from bit-identical values.
+        ref_model = ref_model.double()
+        ref_model.load_state_dict(
+            {k: v.float().double() if v.is_floating_point() else v
+             for k, v in ref_model.state_dict().items()})
     params0, stats0 = wc.convert_unet(_sd_numpy(ref_model))
-    # deep-copy NOW: _sd_numpy views share memory with the torch tensors,
-    # and torch's in-place optimizer updates would otherwise mutate this
-    # "initial" snapshot while the torch trajectory runs
-    params0 = jax.tree_util.tree_map(np.array, params0)
-    stats0 = jax.tree_util.tree_map(np.array, stats0)
+    # deep-copy NOW (widened to the run dtype — the converter emits f32):
+    # _sd_numpy views share memory with the torch tensors, and torch's
+    # in-place optimizer updates would otherwise mutate this "initial"
+    # snapshot while the torch trajectory runs
+    params0 = jax.tree_util.tree_map(lambda a: np.array(a, np_dtype), params0)
+    stats0 = jax.tree_util.tree_map(lambda a: np.array(a, np_dtype), stats0)
 
     rng = np.random.default_rng(7)
     batches = []
     for _ in range(epochs * iters):
-        img = rng.normal(size=(bs, hw, hw, 3)).astype(np.float32)
+        img = rng.normal(size=(bs, hw, hw, 3)).astype(np_dtype)
         lbl = rng.integers(0, num_classes, size=(bs, hw, hw)).astype(np.int32)
         lbl[:, :4, :4] = 255  # exercise ignore_index in both paths
         batches.append((img, lbl))
 
     # --- torch trajectory (reference trainer order) ---
     ref_model.train()
-    opt = torch.optim.SGD(ref_model.parameters(), lr=lr, momentum=mom,
-                          weight_decay=wd)
-    sched = ref_sched.Poly(opt, epochs, iters)
+    if optimizer_type == "SGD":
+        opt = torch.optim.SGD(ref_model.parameters(), lr=lr, momentum=mom,
+                              weight_decay=wd)
+    else:
+        opt = torch.optim.Adam(ref_model.parameters(), lr=lr,
+                               weight_decay=wd)
+    sched = getattr(ref_sched, scheduler_type)(opt, epochs, iters)
     loss_fn = ref_losses.CrossEntropyLoss2d(ignore_index=255)
     ref_losses_seq = []
     bi = 0
@@ -364,32 +403,32 @@ def test_training_dynamics_parity(ref):
 
     # --- segtpu trajectory ---
     seg_model = get_model("UNet", num_classes=num_classes)
-    tx = make_optimizer("SGD", lr=lr, momentum=mom, weight_decay=wd,
-                        differential_lr=False, scheduler_type="Poly",
+    tx = make_optimizer(optimizer_type, lr=lr, momentum=mom, weight_decay=wd,
+                        differential_lr=False, scheduler_type=scheduler_type,
                         num_epochs=epochs, iters_per_epoch=iters)
     state = create_train_state(seg_model, tx, jax.random.PRNGKey(0),
-                               jnp.zeros((1, hw, hw, 3), jnp.float32))
+                               jnp.zeros((1, hw, hw, 3), jnp_dtype))
     params0 = jax.tree_util.tree_map(jnp.asarray, params0)
     stats0 = jax.tree_util.tree_map(jnp.asarray, stats0)
     state = state.replace(params=params0, batch_stats=stats0,
                           opt_state=tx.init(params0))
     step = make_train_step(seg_model, cross_entropy, num_classes,
-                           ignore_index=255, compute_dtype=jnp.float32)
+                           ignore_index=255, compute_dtype=jnp_dtype)
     key = jax.random.PRNGKey(1)
     seg_losses_seq = []
     for img, lbl in batches:
         state, loss, _ = step(state, jnp.asarray(img), jnp.asarray(lbl), key)
         seg_losses_seq.append(float(loss))
 
-    np.testing.assert_allclose(seg_losses_seq, ref_losses_seq, rtol=2e-3,
-                               atol=2e-3)
+    np.testing.assert_allclose(seg_losses_seq, ref_losses_seq, rtol=loss_tol,
+                               atol=loss_tol)
 
     # final weights + BN running stats must have tracked each other
 
     final_p, final_s = wc.convert_unet(_sd_numpy(ref_model))
     for k, (want, got) in _flat_pairs(final_p, state.params):
         np.testing.assert_allclose(
-            got, want, rtol=5e-3, atol=5e-3,
+            got, want, rtol=param_tol, atol=param_tol,
             err_msg=f"params:{k} diverged after 20 steps")
     # running stats are EMAs of DEEP activations — the per-step ~1e-3
     # weight drift amplifies elementwise on small entries, so compare in
@@ -397,7 +436,215 @@ def test_training_dynamics_parity(ref):
     # flax 0.1, would blow this by orders of magnitude)
     for k, (want, got) in _flat_pairs(final_s, state.batch_stats):
         err = np.linalg.norm(got - want) / max(np.linalg.norm(want), 1e-6)
-        assert err < 3e-2, f"batch_stats:{k} rel-L2 {err:.3e} after 20 steps"
+        assert err < stats_tol, \
+            f"batch_stats:{k} rel-L2 {err:.3e} after 20 steps"
+
+
+def test_training_dynamics_parity(ref):
+    """SGD(momentum=0.9, wd=1e-4) + Poly — the strongest in-sandbox
+    mIoU-parity proxy: forward parity proves the graph; this proves the
+    UPDATE math (momentum convention, weight-decay coupling, BN momentum,
+    schedule indexing) end-to-end."""
+    _run_unet_dynamics(ref, "SGD", "Poly")
+
+
+def test_training_dynamics_parity_adam(ref):
+    """torch.optim.Adam (L2-coupled weight decay, bias-corrected moments,
+    eps outside the bias correction) vs segtpu's _torch_adam chain
+    (core/state.py:73-80). The reference instantiates any torch.optim
+    optimizer by config name (base/base_trainer.py:57 get_instance); Adam is
+    the other one segtpu implements, so its update math needs the same
+    end-to-end proof SGD got. Runs in float64 (see _run_unet_dynamics: the
+    scale-invariant Adam update amplifies fp32 conv-backward rounding noise
+    into sign-flipped full-lr steps on near-zero-gradient elements), which
+    turns the check into a tight proof of the update math itself."""
+    _run_unet_dynamics(ref, "Adam", "Poly", lr=1e-3, x64=True,
+                       loss_tol=1e-6, param_tol=1e-5, stats_tol=1e-6)
+
+
+def test_training_dynamics_parity_onecycle(ref):
+    """Reference OneCycle (utils/lr_scheduler.py:23-60) MUTATES each param
+    group's momentum every scheduler step (cosine cycling 0.95->0.85->0.95)
+    while the LR anneals — vs segtpu's inject_hyperparams momentum schedule
+    (core/state.py:63-66 + schedules.one_cycle). Proves the momentum-cycling
+    indexing against torch's actual buffer updates, which the formula-level
+    test (test_schedules.py) cannot."""
+    _run_unet_dynamics(ref, "SGD", "OneCycle", lr=0.05)
+
+
+def test_training_dynamics_parity_psp_aux_diff_lr(ref, monkeypatch):
+    """Training-dynamics parity on the reference's FLAGSHIP config shape:
+    PSPNet with aux head (loss + 0.4*aux_loss, reference trainer.py:57-62)
+    and differential LR (decoder at lr, backbone at lr/10 — reference
+    base/base_trainer.py:46-53). The UNet dynamics test proves the bare
+    SGD+Poly update math; this proves the aux-loss gradient path, the
+    two-group multi_transform partition boundary, and the 0.1x backbone
+    schedule against torch.
+
+    A literal fp32 multi-step trajectory comparison is NOT meaningful here
+    (measured): through the 50-layer BN backbone, torch-vs-XLA fp32
+    conv-backward rounding noise amplifies to ~4.5% relative gradient
+    differences on EVERY backbone leaf, while the same gradients in float64
+    agree to <=7.4e-8 rel-L2 — the fp32 trajectories genuinely diverge from
+    rounding alone, so any tolerance loose enough to pass is loose enough to
+    miss real bugs. Instead this proves the same three contracts exactly:
+
+      1. float64 single-step gradient parity of loss + 0.4*aux (eager apply
+         — the jitted x64 PSPNet step costs ~10 min of CPU compile+run;
+         eager is ~1 min and numerically identical),
+      2. partition equivalence: torch's get_decoder_params /
+         get_backbone_params split vs segtpu's partition_labels, by exact
+         per-group parameter counts,
+      3. the full two-group optimizer trajectory (SGD momentum+wd, Poly at
+         lr and lr/10, 12 steps across an epoch boundary) vs torch on a
+         synthetic gradient stream — pure update math, exact in float64.
+
+    Dropout (the only RNG the two frameworks can't share) is neutralized on
+    both sides: torch Dropout2d.p=0 and flax nn.Dropout patched to
+    identity."""
+    import flax.linen
+    import jax
+
+    import utils.losses as ref_losses  # /root/reference/utils
+    import utils.lr_scheduler as ref_sched
+
+    from segtpu.core.state import make_optimizer, partition_labels
+    from segtpu.losses import cross_entropy
+
+    class _IdentityDropout:
+        def __init__(self, *a, **k):
+            pass
+
+        def __call__(self, x, *a, **k):
+            return x
+
+    monkeypatch.setattr(flax.linen, "Dropout", _IdentityDropout)
+
+    num_classes, hw, bs = 5, 48, 2
+    epochs, iters = 2, 6
+    lr, wd, mom = 0.02, 1e-4, 0.9
+
+    prev_x64 = jax.config.jax_enable_x64
+    jax.config.update("jax_enable_x64", True)
+    try:
+        torch.manual_seed(0)
+        ref_model = ref.PSPNet(num_classes=num_classes, backbone="resnet50",
+                               pretrained=False, use_aux=True).double()
+        # snap onto the f32 grid so any converter float32 cast is lossless
+        ref_model.load_state_dict(
+            {k: v.float().double() if v.is_floating_point() else v
+             for k, v in ref_model.state_dict().items()})
+        for m in ref_model.modules():
+            if isinstance(m, torch.nn.Dropout2d):
+                m.p = 0.0
+        params0, stats0 = wc.convert_pspnet(_sd_numpy(ref_model))
+        params0 = jax.tree_util.tree_map(
+            lambda a: np.array(a, np.float64), params0)
+        stats0 = jax.tree_util.tree_map(
+            lambda a: np.array(a, np.float64), stats0)
+
+        rng = np.random.default_rng(11)
+        img = rng.normal(size=(bs, hw, hw, 3))
+        lbl = rng.integers(0, num_classes, size=(bs, hw, hw)).astype(np.int32)
+        lbl[:, :8, :8] = 255
+
+        # --- 1. f64 gradient parity through the aux-weighted loss ---
+        ref_model.train()
+        loss_fn = ref_losses.CrossEntropyLoss2d(ignore_index=255)
+        out, aux = ref_model(torch.from_numpy(img.transpose(0, 3, 1, 2)))
+        tgt = torch.from_numpy(lbl.astype(np.int64))
+        ref_loss = loss_fn(out, tgt) + 0.4 * loss_fn(aux, tgt)
+        ref_loss.backward()
+        tgrads = {name: p.grad.detach().numpy().copy()
+                  for name, p in ref_model.named_parameters()}
+        # route the grads through the same layout converter (buffers filled
+        # from the state_dict so the converter sees a complete torch layout)
+        ref_grads, _ = wc.convert_pspnet(
+            {**tgrads, **{k: v for k, v in _sd_numpy(ref_model).items()
+                          if k not in tgrads}})
+
+        seg_model = get_model("PSPNet", num_classes=num_classes,
+                              backbone="resnet50", use_aux=True)
+
+        def loss_wrap(params, stats):
+            out_dict, _ = seg_model.apply(
+                {"params": params, "batch_stats": stats}, jnp.asarray(img),
+                train=True, rngs={"dropout": jax.random.PRNGKey(1)},
+                mutable=["batch_stats"])
+            main = cross_entropy(out_dict["out"], jnp.asarray(lbl),
+                                 ignore_index=255)
+            aux_l = cross_entropy(out_dict["aux"], jnp.asarray(lbl),
+                                  ignore_index=255)
+            return main + 0.4 * aux_l
+
+        seg_loss, seg_grads = jax.value_and_grad(loss_wrap)(
+            jax.tree_util.tree_map(jnp.asarray, params0),
+            jax.tree_util.tree_map(jnp.asarray, stats0))
+        np.testing.assert_allclose(float(seg_loss), float(ref_loss),
+                                   rtol=1e-9)
+        for k, (want, got) in _flat_pairs(ref_grads, seg_grads):
+            want, got = np.asarray(want), np.asarray(got)
+            rel = (np.linalg.norm(got - want)
+                   / max(np.linalg.norm(want), 1e-12))
+            assert rel < 1e-5, f"grad:{k} rel-L2 {rel:.3e}"
+
+        # --- 2. partition boundary: torch groups vs partition_labels ---
+        n_dec_ref = sum(p.numel() for p in ref_model.get_decoder_params())
+        n_bb_ref = sum(p.numel() for p in ref_model.get_backbone_params())
+        labels = flax.traverse_util.flatten_dict(partition_labels(params0))
+        flatp = flax.traverse_util.flatten_dict(params0)
+        n_bb_seg = sum(int(np.asarray(flatp[k]).size) for k in flatp
+                       if labels[k] == "backbone")
+        n_dec_seg = sum(int(np.asarray(flatp[k]).size) for k in flatp
+                        if labels[k] == "decoder")
+        assert (n_dec_seg, n_bb_seg) == (n_dec_ref, n_bb_ref), (
+            f"partition mismatch: segtpu (dec={n_dec_seg}, bb={n_bb_seg}) "
+            f"vs torch (dec={n_dec_ref}, bb={n_bb_ref})")
+
+        # --- 3. two-group SGD+Poly trajectory on a synthetic grad stream ---
+        grng = np.random.default_rng(3)
+        w_dec0 = grng.normal(size=(37,))
+        w_bb0 = grng.normal(size=(41,))
+        gstream = [(grng.normal(size=(37,)), grng.normal(size=(41,)))
+                   for _ in range(epochs * iters)]
+
+        t_dec = torch.nn.Parameter(torch.from_numpy(w_dec0.copy()))
+        t_bb = torch.nn.Parameter(torch.from_numpy(w_bb0.copy()))
+        opt = torch.optim.SGD(
+            [{"params": [t_dec]}, {"params": [t_bb], "lr": lr / 10}],
+            lr=lr, momentum=mom, weight_decay=wd)
+        sched = ref_sched.Poly(opt, epochs, iters)
+        bi = 0
+        for epoch in range(1, epochs + 1):
+            for _ in range(iters):
+                gd, gb = gstream[bi]
+                bi += 1
+                sched.step(epoch=epoch - 1)
+                opt.zero_grad()
+                t_dec.grad = torch.from_numpy(gd.copy())
+                t_bb.grad = torch.from_numpy(gb.copy())
+                opt.step()
+
+        tx = make_optimizer("SGD", lr=lr, momentum=mom, weight_decay=wd,
+                            differential_lr=True, scheduler_type="Poly",
+                            num_epochs=epochs, iters_per_epoch=iters)
+        params = {"backbone": {"w": jnp.asarray(w_bb0)},
+                  "decoder": {"w": jnp.asarray(w_dec0)}}
+        opt_state = tx.init(params)
+        for gd, gb in gstream:
+            grads = {"backbone": {"w": jnp.asarray(gb)},
+                     "decoder": {"w": jnp.asarray(gd)}}
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = jax.tree_util.tree_map(lambda p, u: p + u, params,
+                                            updates)
+        np.testing.assert_allclose(np.asarray(params["decoder"]["w"]),
+                                   t_dec.detach().numpy(), rtol=1e-12,
+                                   atol=1e-12)
+        np.testing.assert_allclose(np.asarray(params["backbone"]["w"]),
+                                   t_bb.detach().numpy(), rtol=1e-12,
+                                   atol=1e-12)
+    finally:
+        jax.config.update("jax_enable_x64", prev_x64)
 
 
 # ---------------------------------------------------------------------------
