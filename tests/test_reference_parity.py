@@ -647,6 +647,89 @@ def test_training_dynamics_parity_psp_aux_diff_lr(ref, monkeypatch):
         jax.config.update("jax_enable_x64", prev_x64)
 
 
+def _load_ref_inference():
+    """Import /root/reference/inference.py by path (the repo root's own
+    inference.py shadows the name on sys.path)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_inference", f"{REF}/inference.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_sliding_predict_parity_vs_reference(ref):
+    """segtpu sliding_predict (batched tiles, one compiled forward) vs the
+    reference's one-tile-at-a-time loop (inference.py:26-58) on the SAME
+    converted UNet: tile geometry (size//2.5), stride ceil(tile*(1-1/3)),
+    edge-tile zero padding (pad_image, inference.py:20-24), flip averaging,
+    and count normalization must all agree numerically — 80x120 makes the
+    last row/col tiles ragged so the pad+crop path is exercised."""
+    ref_inf = _load_ref_inference()
+    from segtpu.inference_lib import make_predictor, sliding_predict
+
+    num_classes, h, w = 6, 80, 120
+    torch.manual_seed(0)
+    ref_model = ref.UNet(num_classes=num_classes)
+    ref_model.eval()
+    seg_model = get_model("UNet", num_classes=num_classes)
+    params, stats = wc.convert_unet(_sd_numpy(ref_model))
+
+    rng = np.random.default_rng(5)
+    image = rng.normal(size=(h, w, 3)).astype(np.float32)
+
+    with torch.no_grad():
+        want = ref_inf.sliding_predict(
+            ref_model, torch.from_numpy(image.transpose(2, 0, 1)[None]),
+            num_classes, flip=True)  # (C, H, W)
+
+    predict = make_predictor(seg_model, params, stats)
+    got = sliding_predict(predict, image, num_classes, flip=True,
+                          max_tile_batch=16)  # (H, W, C)
+
+    want = np.transpose(want, (1, 2, 0)).astype(np.float32)
+    scale = max(np.max(np.abs(want)), 1.0)
+    assert np.max(np.abs(got - want)) < 1e-3 * scale
+    agree = np.mean(np.argmax(got, -1) == np.argmax(want, -1))
+    assert agree > 0.999
+
+
+def test_multi_scale_predict_parity_vs_reference(ref):
+    """segtpu multi_scale_predict vs reference inference.py:61-79 on the same
+    converted UNet: per-scale scipy zoom (order=1, prefilter=False),
+    align_corners=True bilinear upsample back to input size, flip averaging,
+    mean over scales. Scales chosen so every zoomed size stays /16-divisible
+    (isolates the inference wrapper math from odd-size interior resizes)."""
+    ref_inf = _load_ref_inference()
+    from segtpu.inference_lib import make_predictor, multi_scale_predict
+
+    num_classes, h, w = 6, 96, 128
+    torch.manual_seed(0)
+    ref_model = ref.UNet(num_classes=num_classes)
+    ref_model.eval()
+    seg_model = get_model("UNet", num_classes=num_classes)
+    params, stats = wc.convert_unet(_sd_numpy(ref_model))
+
+    rng = np.random.default_rng(6)
+    image = rng.normal(size=(h, w, 3)).astype(np.float32)
+    scales = [0.5, 1.0, 1.5]
+
+    with torch.no_grad():
+        want = ref_inf.multi_scale_predict(
+            ref_model, torch.from_numpy(image.transpose(2, 0, 1)[None]),
+            scales, num_classes, torch.device("cpu"), flip=True)  # (C, H, W)
+
+    predict = make_predictor(seg_model, params, stats)
+    got = multi_scale_predict(predict, image, scales, num_classes, flip=True)
+
+    want = np.transpose(want, (1, 2, 0)).astype(np.float32)
+    scale = max(np.max(np.abs(want)), 1.0)
+    assert np.max(np.abs(got - want)) < 1e-3 * scale
+    agree = np.mean(np.argmax(got, -1) == np.argmax(want, -1))
+    assert agree > 0.999
+
+
 # ---------------------------------------------------------------------------
 # Function-level diffs: Lovász loss, augmentation pipeline
 
