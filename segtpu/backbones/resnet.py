@@ -170,6 +170,26 @@ class _PallasStemConv(nn.Module):
         return pallas_stem_conv(x, kern, k)
 
 
+class _S2DStemConv(nn.Module):
+    """Stride-2 bias-free stem conv computed in space-to-depth layout
+    (ops/s2d.py): stride-1, 4x channels, 1/4 positions — same arithmetic,
+    shapes XLA's forward AND weight-gradient emitters can tile. Same param
+    name/shape/init as the plain Conv it replaces, so checkpoints, the
+    torch converters, and TP sharding trees are unaffected."""
+
+    features: int
+    kernel_size: int
+
+    @nn.compact
+    def __call__(self, x):
+        from segtpu.ops.s2d import s2d_stem_conv
+
+        k = self.kernel_size
+        kern = self.param("kernel", _he_fanout_init,
+                          (k, k, x.shape[-1], self.features))
+        return s2d_stem_conv(x, kern, padding=k // 2)
+
+
 class ResNetFeatures(nn.Module):
     """ResNet encoder returning the four stage feature maps.
 
@@ -203,6 +223,11 @@ class ResNetFeatures(nn.Module):
     # Only valid when this backbone consumes the MODEL INPUT directly (the
     # kernel returns a zero input-cotangent, dead code for data).
     pallas_stem_wgrad: bool = False
+    # Compute the first stem conv in space-to-depth layout (ops/s2d.py):
+    # graph-level relayout, exact same arithmetic, no custom kernel. Aims at
+    # the identical small-C stride-2 bucket as pallas_stem_wgrad but pays
+    # zero per-step gradient relayout (the s2d rides the input).
+    s2d_stem: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -212,11 +237,15 @@ class ResNetFeatures(nn.Module):
                                     self.multi_grid, self.hdc)
 
         use_pallas_stem = self.pallas_stem_wgrad and self.stem_stride == 2
+        use_s2d_stem = (self.s2d_stem and self.stem_stride == 2
+                        and not use_pallas_stem)
 
         # Stem
         if deep_base:
             if use_pallas_stem:
                 y = _PallasStemConv(64, 3, name="stem_conv1")(x)
+            elif use_s2d_stem:
+                y = _S2DStemConv(64, 3, name="stem_conv1")(x)
             else:
                 y = Conv(64, 3, self.stem_stride, 1, use_bias=False,
                          kernel_init=_he_fanout_init, name="stem_conv1")(x)
@@ -231,6 +260,8 @@ class ResNetFeatures(nn.Module):
         else:
             if use_pallas_stem:
                 y = _PallasStemConv(64, 7, name="stem_conv1")(x)
+            elif use_s2d_stem:
+                y = _S2DStemConv(64, 7, name="stem_conv1")(x)
             else:
                 y = Conv(64, 7, self.stem_stride, 3, use_bias=False,
                          kernel_init=_he_fanout_init, name="stem_conv1")(x)

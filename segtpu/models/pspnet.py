@@ -53,6 +53,7 @@ class PSPNet(nn.Module):
     freeze_backbone: bool = False
     remat_backbone: bool = False  # per-block remat: bigger batches/crops
     pallas_stem_wgrad: bool = False  # Pallas wgrad for the first stem conv
+    s2d_stem: bool = False  # first stem conv in space-to-depth layout
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -61,6 +62,7 @@ class PSPNet(nn.Module):
         feats = ResNetFeatures(arch=self.backbone, style="encoding",
                                remat_blocks=self.remat_backbone,
                                pallas_stem_wgrad=self.pallas_stem_wgrad,
+                               s2d_stem=self.s2d_stem,
                                name="backbone")(x, train=bn_train)
         x_aux, y = feats[2], feats[3]
         m_out = y.shape[-1]
