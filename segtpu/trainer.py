@@ -21,6 +21,8 @@ import json
 import logging
 import math
 import os
+import signal
+import threading
 import time
 from typing import Dict, Optional
 
@@ -37,6 +39,11 @@ from segtpu.core import (create_train_state, make_eval_step, make_mesh,
 from segtpu.data.base import DevicePrefetcher
 from segtpu.metrics import AverageMeter, SegStats
 from segtpu.utils.helpers import colorize_mask, denormalize, dir_exists
+
+
+class TrainingPreempted(RuntimeError):
+    """Raised inside the epoch loop after a preemption-triggered checkpoint
+    (value: the iteration the resumed run will start from)."""
 
 
 class Trainer:
@@ -98,6 +105,8 @@ class Trainer:
         # deterministic epoch order from the interruption point.
         self.save_per_iters = cfg_trainer.get("save_per_iters", 0)
         self._resume_iter = 0
+        self._preempted = False  # set by the SIGTERM handler (train())
+        self._prev_sigterm = None
         self.do_validation = cfg_trainer.get("val", True) and val_loader is not None
         self.val_per_epochs = cfg_trainer.get("val_per_epochs", 1)
         self.log_per_iter = cfg_trainer.get("log_per_iter", 20)
@@ -207,6 +216,44 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def train(self):
+        self._install_preemption_handler()
+        try:
+            return self._train_loop()
+        except TrainingPreempted as e:
+            self.logger.warning(
+                f"Preempted (SIGTERM): checkpoint-latest written "
+                f"({e}). Resume with --resume "
+                f"{os.path.join(self.checkpoint_dir, 'checkpoint-latest')}")
+            return self.state
+        finally:
+            self._restore_preemption_handler()
+
+    def _install_preemption_handler(self):
+        """Catch the preemption signal cloud TPU pools deliver (SIGTERM) and
+        convert it into a clean checkpoint-latest + exit at the next
+        iteration boundary — the resumed run replays the epoch's
+        deterministic batch order from that point (same machinery as
+        ``save_per_iters``). Beyond the reference (which dies and loses the
+        epoch). Signal handlers only work on the main thread; elsewhere
+        (e.g. trainers driven from test threads) this is a no-op."""
+        self._preempted = False
+        self._prev_sigterm = None
+        if threading.current_thread() is threading.main_thread():
+            try:
+                self._prev_sigterm = signal.signal(
+                    signal.SIGTERM, self._on_preempt)
+            except ValueError:  # non-main interpreter contexts
+                self._prev_sigterm = None
+
+    def _restore_preemption_handler(self):
+        if self._prev_sigterm is not None:
+            signal.signal(signal.SIGTERM, self._prev_sigterm)
+            self._prev_sigterm = None
+
+    def _on_preempt(self, signum, frame):
+        self._preempted = True
+
+    def _train_loop(self):
         for epoch in range(self.start_epoch, self.epochs + 1):
             results = self._train_epoch(epoch)
             if self.do_validation and epoch % self.val_per_epochs == 0:
@@ -244,6 +291,15 @@ class Trainer:
 
             if epoch % self.save_period == 0:
                 self._save_checkpoint(epoch, save_best=self.improved)
+            if self._preempted:
+                # SIGTERM landed during validation / epoch bookkeeping (the
+                # mid-epoch check below couldn't see it): persist the epoch
+                # boundary and stop. No resume_iter => resume starts epoch+1.
+                save_checkpoint(
+                    self.checkpoint_dir, "checkpoint-latest", self.state,
+                    epoch, self.mnt_best, self.config,
+                    type(self.model).__name__)
+                raise TrainingPreempted(f"after epoch {epoch}")
         return self.state
 
     # ------------------------------------------------------------------
@@ -297,6 +353,20 @@ class Trainer:
                     self.config, type(self.model).__name__,
                     extra_meta={"resume_epoch": epoch,
                                 "resume_iter": it_abs + 1})
+            if self._preempted and it_abs + 1 < iters_per_epoch:
+                # Preemption checkpoint: the state already contains this
+                # iteration's update, so the resumed run replays the epoch's
+                # deterministic order from it_abs+1 (exactly the
+                # save_per_iters contract). save_checkpoint blocks on the
+                # in-flight step, so nothing is torn.
+                save_checkpoint(
+                    self.checkpoint_dir, "checkpoint-latest", self.state,
+                    epoch - 1, self.mnt_best, self.config,
+                    type(self.model).__name__,
+                    extra_meta={"resume_epoch": epoch,
+                                "resume_iter": it_abs + 1})
+                raise TrainingPreempted(
+                    f"epoch {epoch} iter {it_abs + 1}/{iters_per_epoch}")
             if (it + 1) % self.log_per_iter == 0:
                 # single host sync at the log boundary
                 jax.block_until_ready(loss)

@@ -318,3 +318,52 @@ def test_val_loss_weights_padded_tail(tmp_path):
         total += float(loss) * float(stats.labeled)
         weight += float(stats.labeled)
     assert results["val_loss"] == pytest.approx(total / weight, abs=1e-3)
+
+
+def test_sigterm_preemption_checkpoint_and_resume(tmp_path):
+    """SIGTERM mid-epoch => checkpoint-latest at the next iteration boundary
+    (no save_per_iters needed), clean return, handler restored; resuming
+    replays the epoch's remaining batches (total steps match an
+    uninterrupted run). Beyond reference: its trainer dies on preemption and
+    loses the epoch."""
+    import signal
+
+    config = _config(tmp_path, epochs=1)
+    train, val = _loaders()  # 24 samples / bs 8 = 3 batches
+    trainer = Trainer(model=get_model("UNet", num_classes=6), config=config,
+                      loss="CrossEntropyLoss2d", train_loader=train,
+                      val_loader=val, train_logger=Logger(),
+                      mesh=_small_mesh(), compute_dtype=jnp.float32)
+
+    prev_handler = signal.getsignal(signal.SIGTERM)
+    orig_step, calls = trainer.train_step, {"n": 0}
+
+    def step_with_sigterm(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            # Pytest runs on the main thread, so the trainer's handler is
+            # installed; deliver the signal synchronously mid-epoch.
+            assert signal.getsignal(signal.SIGTERM) == trainer._on_preempt
+            signal.raise_signal(signal.SIGTERM)
+        return orig_step(*a, **kw)
+
+    trainer.train_step = step_with_sigterm
+    trainer.train()  # returns cleanly (no SystemExit, no KeyboardInterrupt)
+
+    assert int(trainer.state.step) == 2  # stopped after the signaled iter
+    assert signal.getsignal(signal.SIGTERM) == prev_handler  # restored
+    latest = os.path.join(trainer.checkpoint_dir, "checkpoint-latest")
+    assert os.path.exists(latest)
+    meta = json.load(open(os.path.join(latest, "meta.json")))
+    assert meta["resume_epoch"] == 1 and meta["resume_iter"] == 2
+
+    train2, val2 = _loaders()
+    trainer2 = Trainer(model=get_model("UNet", num_classes=6), config=config,
+                       loss="CrossEntropyLoss2d", train_loader=train2,
+                       val_loader=val2, train_logger=Logger(),
+                       mesh=_small_mesh(), compute_dtype=jnp.float32,
+                       resume=latest)
+    assert trainer2.start_epoch == 1 and trainer2._resume_iter == 2
+    trainer2.train()
+    # 2 steps restored + 1 remaining batch of epoch 1
+    assert int(trainer2.state.step) == 3
