@@ -80,13 +80,125 @@ def _torch_adam(lr_schedule, betas=(0.9, 0.999), eps: float = 1e-8,
     return optax.chain(*parts)
 
 
-_OPTIMIZERS = {"SGD": _torch_sgd, "Adam": _torch_adam}
+def _torch_adamw(lr_schedule, betas=(0.9, 0.999), eps: float = 1e-8,
+                 weight_decay: float = 1e-2, **_):
+    """torch.optim.AdamW semantics: DECOUPLED decay — the decay term is
+    scaled by lr but NOT fed through the Adam moments:
+    ``p <- p - lr*(adam(g) + wd*p)``. Hence decay sits AFTER scale_by_adam
+    (contrast :func:`_torch_adam`, where it perturbs the gradient first)."""
+    parts = [optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps)]
+    if weight_decay:
+        parts.append(optax.add_decayed_weights(weight_decay))
+    parts.append(optax.scale_by_learning_rate(lr_schedule))
+    return optax.chain(*parts)
+
+
+class _CenteredRmsState(flax.struct.PyTreeNode):
+    square_avg: Any
+    grad_avg: Any
+
+
+def _scale_by_torch_centered_rms(alpha: float, eps: float):
+    """torch RMSprop(centered=True): eps OUTSIDE the sqrt, variance centered
+    by the running grad mean (optax's scale_by_stddev puts eps inside)."""
+
+    def init(params):
+        zeros = jax.tree.map(jnp.zeros_like, params)
+        return _CenteredRmsState(zeros, jax.tree.map(jnp.zeros_like, params))
+
+    def update(updates, state, params=None):
+        del params
+        sq = jax.tree.map(lambda g, s: alpha * s + (1 - alpha) * g * g,
+                          updates, state.square_avg)
+        ga = jax.tree.map(lambda g, m: alpha * m + (1 - alpha) * g,
+                          updates, state.grad_avg)
+        out = jax.tree.map(lambda g, s, m: g / (jnp.sqrt(s - m * m) + eps),
+                           updates, sq, ga)
+        return out, _CenteredRmsState(sq, ga)
+
+    return optax.GradientTransformation(init, update)
+
+
+def _torch_rmsprop(lr_schedule, alpha: float = 0.99, eps: float = 1e-8,
+                   momentum: float = 0.0, centered: bool = False,
+                   weight_decay: float = 0.0, **_):
+    """torch.optim.RMSprop semantics: coupled wd, square_avg init 0, eps
+    added OUTSIDE the sqrt, momentum buffer applied AFTER the division
+    (``buf = mu*buf + g/avg; p -= lr*buf``)."""
+    parts = []
+    if weight_decay:
+        parts.append(optax.add_decayed_weights(weight_decay))
+    if centered:
+        parts.append(_scale_by_torch_centered_rms(alpha, eps))
+    else:
+        parts.append(optax.scale_by_rms(decay=alpha, eps=eps,
+                                        initial_scale=0.0, eps_in_sqrt=False))
+    if momentum:
+        parts.append(optax.trace(decay=momentum, nesterov=False))
+    parts.append(optax.scale_by_learning_rate(lr_schedule))
+    return optax.chain(*parts)
+
+
+class _AdagradState(flax.struct.PyTreeNode):
+    count: jnp.ndarray
+    acc: Any
+
+
+def _scale_by_torch_adagrad(eps: float, lr_decay: float,
+                            initial_accumulator_value: float):
+    """torch.optim.Adagrad semantics: ``acc += g*g; p -= clr*g/(sqrt(acc)+eps)``
+    with ``clr = lr/(1 + t*lr_decay)`` (t = completed updates). optax's
+    scale_by_rss differs on both counts (eps inside rsqrt, zeroing where
+    acc==0), hence the custom transform."""
+
+    def init(params):
+        return _AdagradState(
+            jnp.zeros((), jnp.int32),
+            jax.tree.map(lambda p: jnp.full_like(
+                p, initial_accumulator_value), params))
+
+    def update(updates, state, params=None):
+        del params
+        acc = jax.tree.map(lambda g, a: a + g * g, updates, state.acc)
+
+        def scale(g, a):
+            scaled = g / (jnp.sqrt(a) + eps)
+            if lr_decay:
+                # in g's dtype — an f32 intermediate would poison f64 runs
+                one = jnp.asarray(1.0, g.dtype)
+                scaled = scaled / (one + state.count.astype(g.dtype) * lr_decay)
+            return scaled
+
+        out = jax.tree.map(scale, updates, acc)
+        return out, _AdagradState(state.count + 1, acc)
+
+    return optax.GradientTransformation(init, update)
+
+
+def _torch_adagrad(lr_schedule, eps: float = 1e-10, lr_decay: float = 0.0,
+                   initial_accumulator_value: float = 0.0,
+                   weight_decay: float = 0.0, **_):
+    parts = []
+    if weight_decay:
+        parts.append(optax.add_decayed_weights(weight_decay))
+    parts.append(_scale_by_torch_adagrad(eps, lr_decay,
+                                         initial_accumulator_value))
+    parts.append(optax.scale_by_learning_rate(lr_schedule))
+    return optax.chain(*parts)
+
+
+#: The reference resolves ANY torch.optim name by reflection
+#: (reference base/base_trainer.py:57); these are the torch-semantics
+#: re-derivations of the names segmentation configs actually use. Unknown
+#: names raise a ValueError listing this surface (vs torch's AttributeError).
+_OPTIMIZERS = {"SGD": _torch_sgd, "Adam": _torch_adam, "AdamW": _torch_adamw,
+               "RMSprop": _torch_rmsprop, "Adagrad": _torch_adagrad}
 
 
 def make_optimizer(
     optimizer_type: str = "SGD",
     lr: float = 0.01,
-    momentum: float = 0.9,
+    momentum: Optional[float] = None,
     weight_decay: float = 1e-4,
     nesterov: bool = False,
     differential_lr: bool = True,
@@ -95,6 +207,7 @@ def make_optimizer(
     num_epochs: int = 80,
     iters_per_epoch: int = 1000,
     scheduler_args: Optional[Dict] = None,
+    **opt_args,
 ) -> optax.GradientTransformation:
     """Build the full optax transformation from reference-config fields
     (config.json "optimizer" + "lr_scheduler" blocks)."""
@@ -103,14 +216,15 @@ def make_optimizer(
         weight_decay=weight_decay, nesterov=nesterov,
         differential_lr=differential_lr, freeze_backbone=freeze_backbone,
         scheduler_type=scheduler_type, num_epochs=num_epochs,
-        iters_per_epoch=iters_per_epoch, scheduler_args=scheduler_args)
+        iters_per_epoch=iters_per_epoch, scheduler_args=scheduler_args,
+        **opt_args)
     return tx
 
 
 def make_optimizer_with_schedules(
     optimizer_type: str = "SGD",
     lr: float = 0.01,
-    momentum: float = 0.9,
+    momentum: Optional[float] = None,
     weight_decay: float = 1e-4,
     nesterov: bool = False,
     differential_lr: bool = True,
@@ -119,6 +233,7 @@ def make_optimizer_with_schedules(
     num_epochs: int = 80,
     iters_per_epoch: int = 1000,
     scheduler_args: Optional[Dict] = None,
+    **opt_args,
 ):
     """Like :func:`make_optimizer` but also returns the per-group LR schedule
     closures ``[decoder_sched, backbone_sched?]`` — the EXACT callables baked
@@ -136,11 +251,22 @@ def make_optimizer_with_schedules(
         lr_sched = sched_lib.get_schedule(scheduler_type)(
             lr, num_epochs, iters_per_epoch, **scheduler_args)
 
+    if optimizer_type not in _OPTIMIZERS:
+        raise ValueError(
+            f"unsupported optimizer type {optimizer_type!r}; supported: "
+            f"{sorted(_OPTIMIZERS)}. (The reference resolves any torch.optim "
+            "name by reflection — base_trainer.py:57; these are the "
+            "torch-semantics TPU re-derivations.)")
     make = _OPTIMIZERS[optimizer_type]
-    kwargs: Dict[str, Any] = dict(weight_decay=weight_decay)
+    kwargs: Dict[str, Any] = dict(weight_decay=weight_decay, **opt_args)
     if optimizer_type == "SGD":
-        kwargs.update(momentum=momentum, nesterov=nesterov,
-                      momentum_schedule=mom_schedule)
+        # torch SGD's momentum default is 0, but every reference config sets
+        # 0.9 — keep 0.9 as OUR default (backcompat with round 1-3 callers).
+        kwargs.update(momentum=0.9 if momentum is None else momentum,
+                      nesterov=nesterov, momentum_schedule=mom_schedule)
+    elif optimizer_type == "RMSprop":
+        # torch RMSprop's momentum default IS 0 — only honor an explicit one.
+        kwargs.update(momentum=0.0 if momentum is None else momentum)
 
     decoder_tx = make(lr_sched, **kwargs)
     backbone_sched = (lambda s: lr_sched(s) * 0.1)

@@ -15,9 +15,14 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags += " --xla_force_host_platform_device_count=8"
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
+    # XLA:CPU's in-process collective rendezvous SIGABRTs the whole pytest
+    # process if a participant is >40s late — routine on this 1-core host
+    # when 8 virtual devices contend. A stall should be a wait, not a crash.
+    flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+              " --xla_cpu_collective_call_terminate_timeout_seconds=900")
+os.environ["XLA_FLAGS"] = flags.strip()
 
 import jax  # noqa: E402
 

@@ -379,12 +379,12 @@ def _unet_dynamics_body(ref, optimizer_type, scheduler_type, lr, wd, mom,
 
     # --- torch trajectory (reference trainer order) ---
     ref_model.train()
+    # reflection, exactly like reference base/base_trainer.py:57
+    opt_kwargs = dict(lr=lr, weight_decay=wd)
     if optimizer_type == "SGD":
-        opt = torch.optim.SGD(ref_model.parameters(), lr=lr, momentum=mom,
-                              weight_decay=wd)
-    else:
-        opt = torch.optim.Adam(ref_model.parameters(), lr=lr,
-                               weight_decay=wd)
+        opt_kwargs["momentum"] = mom
+    opt = getattr(torch.optim, optimizer_type)(ref_model.parameters(),
+                                               **opt_kwargs)
     sched = getattr(ref_sched, scheduler_type)(opt, epochs, iters)
     loss_fn = ref_losses.CrossEntropyLoss2d(ignore_index=255)
     ref_losses_seq = []
@@ -403,9 +403,12 @@ def _unet_dynamics_body(ref, optimizer_type, scheduler_type, lr, wd, mom,
 
     # --- segtpu trajectory ---
     seg_model = get_model("UNet", num_classes=num_classes)
-    tx = make_optimizer(optimizer_type, lr=lr, momentum=mom, weight_decay=wd,
-                        differential_lr=False, scheduler_type=scheduler_type,
-                        num_epochs=epochs, iters_per_epoch=iters)
+    tx_kwargs = dict(lr=lr, weight_decay=wd, differential_lr=False,
+                     scheduler_type=scheduler_type, num_epochs=epochs,
+                     iters_per_epoch=iters)
+    if optimizer_type == "SGD":
+        tx_kwargs["momentum"] = mom  # others: torch defaults (RMSprop mom=0)
+    tx = make_optimizer(optimizer_type, **tx_kwargs)
     state = create_train_state(seg_model, tx, jax.random.PRNGKey(0),
                                jnp.zeros((1, hw, hw, 3), jnp_dtype))
     params0 = jax.tree_util.tree_map(jnp.asarray, params0)
@@ -459,6 +462,20 @@ def test_training_dynamics_parity_adam(ref):
     into sign-flipped full-lr steps on near-zero-gradient elements), which
     turns the check into a tight proof of the update math itself."""
     _run_unet_dynamics(ref, "Adam", "Poly", lr=1e-3, x64=True,
+                       loss_tol=1e-6, param_tol=1e-5, stats_tol=1e-6)
+
+
+def test_training_dynamics_parity_adamw(ref):
+    """torch.optim.AdamW (DECOUPLED weight decay — the decay term bypasses
+    the Adam moments and is scaled only by lr) vs segtpu's _torch_adamw
+    chain (core/state.py). Round-3 verdict item 4: the reference accepts any
+    torch.optim name by reflection (base/base_trainer.py:57), so configs
+    with {"optimizer": {"type": "AdamW"}} must train with torch-identical
+    math. Same f64 harness as Adam (scale-invariant update amplifies fp32
+    conv-backward noise; f64 makes the check a proof of the update math).
+    wd=1e-2 (torch's AdamW default) so a wrong coupling would blow the
+    1e-5 param tolerance within 20 steps."""
+    _run_unet_dynamics(ref, "AdamW", "Poly", lr=1e-3, wd=1e-2, x64=True,
                        loss_tol=1e-6, param_tol=1e-5, stats_tol=1e-6)
 
 

@@ -208,6 +208,49 @@ def test_mid_epoch_checkpoint_and_resume(tmp_path):
     assert int(trainer2.state.step) == 3
 
 
+def test_sigterm_on_last_iteration_checkpoints_before_validation(tmp_path):
+    """ADVICE-r3 (medium): SIGTERM landing on an epoch's LAST iteration
+    skips the mid-epoch check (it_abs+1 == iters_per_epoch); the preemption
+    checkpoint must then be written IMMEDIATELY after _train_epoch returns —
+    BEFORE validation — or a full-resolution val epoch can outlive the cloud
+    preemption grace period and the epoch is lost to SIGKILL."""
+    import signal
+
+    config = _config(tmp_path, epochs=1)
+    train, val = _loaders()  # 3 train batches
+    trainer = Trainer(model=get_model("UNet", num_classes=6), config=config,
+                      loss="CrossEntropyLoss2d", train_loader=train,
+                      val_loader=val, train_logger=Logger(),
+                      mesh=_small_mesh(), compute_dtype=jnp.float32)
+
+    orig_step, calls = trainer.train_step, {"n": 0}
+
+    def step_with_sigterm(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 3:  # the LAST iteration of the epoch
+            signal.raise_signal(signal.SIGTERM)
+        return orig_step(*a, **kw)
+
+    val_ran = {"n": 0}
+    orig_val = trainer._valid_epoch
+
+    def spy_val(epoch):
+        val_ran["n"] += 1
+        return orig_val(epoch)
+
+    trainer.train_step = step_with_sigterm
+    trainer._valid_epoch = spy_val
+    trainer.train()
+
+    assert val_ran["n"] == 0, "validation ran after a last-iteration SIGTERM"
+    assert int(trainer.state.step) == 3  # the full epoch IS in the state
+    latest = os.path.join(trainer.checkpoint_dir, "checkpoint-latest")
+    assert os.path.exists(latest)
+    meta = json.load(open(os.path.join(latest, "meta.json")))
+    # epoch-boundary checkpoint: resume starts at epoch+1, no resume_iter
+    assert meta["epoch"] == 1 and "resume_iter" not in meta
+
+
 def test_checkpoint_meta_preserves_unset_monitor(tmp_path):
     """A +/-inf monitor_best (no validation yet) must round-trip as None so
     a 'min'-monitor resume keeps its fresh +inf instead of a bogus 0.0 it
@@ -285,6 +328,71 @@ def test_trainer_parallelism_from_config(tmp_path):
                                                 trainer2.state.params))
     for k in a:
         np.testing.assert_array_equal(a[k], b[k])
+
+
+def test_device_ids_selects_mesh_subset(tmp_path):
+    """VERDICT-r3 item 7: the reference's `--device` flag actually restricts
+    devices (reference train.py:58-59 via CUDA_VISIBLE_DEVICES); segtpu maps
+    it to trainer.device_ids -> the exact jax.devices() subset the mesh is
+    built over. String ("0") and list ([1, 2]) forms both work."""
+    train_loader, val_loader = _loaders()
+    config = _config(tmp_path, epochs=1)
+
+    config["trainer"]["device_ids"] = "1"
+    t1 = Trainer(model=get_model("UNet", num_classes=6), config=config,
+                 loss="CrossEntropyLoss2d", train_loader=train_loader,
+                 val_loader=val_loader, compute_dtype=jnp.float32)
+    assert list(t1.mesh.devices.flat) == [jax.devices()[1]]
+
+    config["trainer"]["device_ids"] = [0, 2]
+    t2 = Trainer(model=get_model("UNet", num_classes=6), config=config,
+                 loss="CrossEntropyLoss2d", train_loader=train_loader,
+                 val_loader=val_loader, compute_dtype=jnp.float32)
+    assert list(t2.mesh.devices.flat) == [jax.devices()[0], jax.devices()[2]]
+    assert dict(t2.mesh.shape)["data"] == 2
+
+
+def test_spatial_val_viz_renders_full_image(tmp_path, monkeypatch):
+    """VERDICT-r3 item 6: under spatial=True the viz window must fetch the
+    GLOBAL array — shard 0 alone is only the top 1/N H-strip of each image.
+    Asserts the tensorboard grid rows carry the FULL crop height."""
+    import tensorboardX
+
+    images_logged = {}
+
+    class _FakeWriter:
+        def __init__(self, *a, **k):
+            pass
+
+        def add_scalar(self, *a, **k):
+            pass
+
+        def add_image(self, tag, img, step):
+            images_logged[tag] = np.asarray(img)
+
+    monkeypatch.setattr(tensorboardX, "SummaryWriter", _FakeWriter)
+
+    config = _config(tmp_path, epochs=1)
+    config["trainer"].update({"devices": 4, "model_parallel": 2,
+                              "spatial": True, "tensorboard": True,
+                              "progress_bar": False})
+    train = Synthetic(batch_size=4, size=8, num_classes=6, image_hw=72,
+                      crop_size=64, shuffle=True)
+    val = Synthetic(batch_size=4, size=4, num_classes=6, image_hw=72,
+                    crop_size=64, split="val", val=True, augment=False,
+                    shuffle=False)
+    trainer = Trainer(model=get_model("UNet", num_classes=6), config=config,
+                      loss="CrossEntropyLoss2d", train_loader=train,
+                      val_loader=val, compute_dtype=jnp.float32)
+    trainer.train()
+
+    grid = images_logged["val/inputs_targets_predictions"]
+    # one viz row per val batch: (3, n_rows*crop, 3*crop) — a shard-0 bug
+    # would halve the per-row height (H sharded 2-way over 'model')
+    crop = 64
+    assert grid.shape[0] == 3
+    assert grid.shape[2] == 3 * crop
+    assert grid.shape[1] % crop == 0 and grid.shape[1] >= crop
 
 
 def test_val_loss_weights_padded_tail(tmp_path):

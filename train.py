@@ -13,7 +13,6 @@ always cross-replica synced under jit (segtpu/nn/layers.py).
 import argparse
 import json
 import logging
-import os
 
 
 def get_instance(module_registry, name, config, *args, **extra):
@@ -81,6 +80,9 @@ if __name__ == "__main__":
         with open(args.config) as f:
             config = json.load(f)
     if args.device:
-        os.environ["CUDA_VISIBLE_DEVICES"] = args.device  # parity no-op on TPU
+        # The reference restricts torch to these ids via CUDA_VISIBLE_DEVICES
+        # (reference train.py:58-59); here the ids select the jax.devices()
+        # subset the Trainer builds its mesh over (trainer.device_ids).
+        config.setdefault("trainer", {})["device_ids"] = args.device
 
     main(config, args.resume)
