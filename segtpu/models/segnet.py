@@ -166,6 +166,7 @@ class SegResNet(nn.Module):
         y = Conv(64, 7, 2, 3, use_bias=False, name="backbone_stem_conv")(x)
         y = BatchNorm(name="backbone_stem_bn")(y, use_running_average=not bn_train)
         y = nn.relu(y)
+        pool_hw = (y.shape[1], y.shape[2])  # idx flat positions refer here
         y, idx = max_pool_argmax_flat(y, window=3, stride=2, padding=1)
 
         counts = (3, 4, 6, 3)
@@ -206,7 +207,7 @@ class SegResNet(nn.Module):
                 y = y[:, hd:yh - (hd - 1), wd:yw - (wd - 1)]
             else:
                 y = y[:, hd:yh - hd, wd:yw - wd]
-        y = max_unpool_flat(y, idx, (2 * ih, 2 * iw))
+        y = max_unpool_flat(y, idx, (2 * ih, 2 * iw), input_hw=pool_hw)
         y = ConvTranspose(64, 2, 2, use_bias=False, name="last_up")(y)
         out = Conv(self.num_classes, 3, padding=1, name="classifier")(y)
         if out.shape[1] != H or out.shape[2] != W:

@@ -231,21 +231,100 @@ def max_pool_argmax_flat(x: jnp.ndarray, window: int = 3, stride: int = 2,
     return best_val, best_idx
 
 
-def max_unpool_flat(y: jnp.ndarray, idx: jnp.ndarray, output_hw) -> jnp.ndarray:
-    """torch ``F.max_unpool2d``: scatter each value of ``y`` to its flat
-    ``idx`` position in a zeros (B, OH, OW, C) canvas.
+def _place_axis(t: jnp.ndarray, axis: int, shift: int, size: int,
+                pad_value) -> jnp.ndarray:
+    """Shift ``t`` by ``shift`` along ``axis`` into a plane of ``size``,
+    cropping overflow and padding the vacated end with ``pad_value``."""
+    length = t.shape[axis]
+    lo = max(shift, 0)
+    crop_lo = max(-shift, 0)
+    crop_hi = max(length - crop_lo - (size - lo), 0)
+    t = jax.lax.slice_in_dim(t, crop_lo, length - crop_hi, axis=axis)
+    hi = size - lo - t.shape[axis]
+    pad = [(0, 0, 0)] * t.ndim
+    pad[axis] = (lo, hi, 0)
+    return jax.lax.pad(t, jnp.asarray(pad_value, t.dtype), pad)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def max_unpool_flat(y: jnp.ndarray, idx: jnp.ndarray, output_hw,
+                    input_hw=None, window: int = 3, stride: int = 2,
+                    padding: int = 1) -> jnp.ndarray:
+    """torch ``F.max_unpool2d``: place each value of ``y`` at its flat
+    ``idx`` position (row-major in the pool's (h, w) input plane) in a
+    zeros (B, OH*OW) canvas, per batch/channel — SegResNet's decoder
+    epilogue (reference models/segnet.py:209,246-253).
+
+    Scatter-free: ``idx`` came from a (window, stride, padding) pool, so
+    each pooled pixel's target lies on one of ``window**2`` stride-dilated
+    tap grids. Per tap, a compare against that tap's flat-position map
+    selects the claiming values, and an interior-padded (dilated) shift
+    places them in the input plane — compare/select/pad ops that XLA fuses,
+    instead of a 3-D-indexed scatter that serializes on TPU (measured: the
+    scatter form held SegResNet train at 1117 ms/step, 2.6% MFU @769² bs8).
 
     Duplicate indices (one input position winning several overlapping
-    windows) can carry UNEQUAL values at SegResNet's call site — the
-    scattered tensor is the decoder output, not the pooled maxima — and
-    XLA scatter leaves the winning write unspecified, as does torch itself
-    across backends (CPU unpool is last-write-wins in scan order; CUDA is
-    racy). Divergence is confined to those rare pixels; the CPU parity
-    test agrees bit-wise with torch-CPU on its fixtures."""
+    windows) can carry UNEQUAL values here — the scattered tensor is the
+    decoder output, not the pooled maxima. Taps are applied in window
+    row-major scan order (later window overwrites), reproducing torch-CPU's
+    last-write-wins deterministically; torch-CUDA is racy on those pixels.
+    Out-of-plane tap positions (edge windows' padded taps, whose flat values
+    alias neighbouring rows) land exclusively on cropped rows/columns of the
+    shift, so they never contaminate the plane.
+
+    ``input_hw`` is the pool's input plane size; defaults to the minimal
+    plane consistent with ``idx``'s grid (exact when the pool consumed an
+    odd-sized plane, as SegResNet's stem does at odd crops).
+    """
     b, ho, wo, c = y.shape
     oh, ow = output_hw
-    flat = jnp.zeros((b, oh * ow, c), y.dtype)
-    b_idx = jnp.broadcast_to(jnp.arange(b)[:, None, None, None], idx.shape)
-    c_idx = jnp.broadcast_to(jnp.arange(c)[None, None, None, :], idx.shape)
-    flat = flat.at[b_idx, idx, c_idx].set(y)
-    return flat.reshape(b, oh, ow, c)
+    if input_hw is None:
+        input_hw = (stride * (ho - 1) + window - 2 * padding,
+                    stride * (wo - 1) + window - 2 * padding)
+    h, w = input_hw
+    rows = jnp.arange(ho) * stride - padding
+    cols = jnp.arange(wo) * stride - padding
+    dilate = (0, 0, stride - 1)
+    plane = jnp.zeros((b, h, w, c), y.dtype)
+    # dh/dw descending == window (i, j) ascending row-major: the last
+    # applied (largest) window wins, matching torch-CPU's scan order.
+    for dh in range(window - 1, -1, -1):
+        for dw in range(window - 1, -1, -1):
+            flat = ((rows + dh)[:, None] * w + (cols + dw)[None, :])
+            m = idx == flat[None, :, :, None].astype(jnp.int32)
+            v = jnp.where(m, y, 0)
+            v = jax.lax.pad(v, jnp.asarray(0, v.dtype),
+                            ((0, 0, 0), dilate, dilate, (0, 0, 0)))
+            m = jax.lax.pad(m, jnp.asarray(False),
+                            ((0, 0, 0), dilate, dilate, (0, 0, 0)))
+            v = _place_axis(_place_axis(v, 1, dh - padding, h, 0),
+                            2, dw - padding, w, 0)
+            m = _place_axis(_place_axis(m, 1, dh - padding, h, False),
+                            2, dw - padding, w, False)
+            plane = jnp.where(m, v, plane)
+    flat_plane = plane.reshape(b, h * w, c)
+    out = jnp.pad(flat_plane, ((0, 0), (0, oh * ow - h * w), (0, 0)))
+    return out.reshape(b, oh, ow, c)
+
+
+def _max_unpool_flat_fwd(y, idx, output_hw, input_hw, window, stride, padding):
+    out = max_unpool_flat(y, idx, output_hw, input_hw, window, stride, padding)
+    return out, idx
+
+
+def _max_unpool_flat_bwd(output_hw, input_hw, window, stride, padding,
+                         idx, g):
+    """torch's unpool backward: EVERY pooled pixel gathers the cotangent at
+    its flat position — duplicated indices all receive it, even though the
+    forward's last-write-wins kept only one of their values. That fwd/bwd
+    inconsistency is torch's own (max_unpool2d backward is an unconditional
+    gather); reproduced for training-dynamics parity. Gathers vectorize on
+    TPU — it is the scatter form of the forward that serialized."""
+    b, ho, wo, c = idx.shape
+    oh, ow = output_hw
+    g_flat = g.reshape(b, oh * ow, c)
+    gy = jnp.take_along_axis(g_flat, idx.reshape(b, ho * wo, c), axis=1)
+    return gy.reshape(b, ho, wo, c), np.zeros(idx.shape, jax.dtypes.float0)
+
+
+max_unpool_flat.defvjp(_max_unpool_flat_fwd, _max_unpool_flat_bwd)

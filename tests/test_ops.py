@@ -104,3 +104,66 @@ def test_pixel_shuffle_matches_torch(rng):
     ref = F.pixel_shuffle(torch.from_numpy(x), 2).numpy()
     got = np.asarray(ops.pixel_shuffle(jnp.asarray(_nhwc(x)), 2))
     np.testing.assert_allclose(got, _nhwc(ref))
+
+
+@pytest.mark.parametrize("hw", [(25, 25), (16, 20)])
+def test_max_pool_argmax_flat_matches_torch(rng, hw):
+    """Overlapping 3x3/s2/p1 pool with FLAT return_indices — SegResNet's
+    stem pool (reference models/segnet.py:209). torch ties resolve to the
+    first position in row-major scan order; so must ours."""
+    from segtpu.ops.pooling import max_pool_argmax_flat
+
+    x = rng.standard_normal((2, 5, *hw)).astype(np.float32)
+    ref_pooled, ref_idx = F.max_pool2d(torch.from_numpy(x), 3, 2, 1,
+                                       return_indices=True)
+    pooled, idx = max_pool_argmax_flat(jnp.asarray(_nhwc(x)), 3, 2, 1)
+    np.testing.assert_allclose(np.asarray(pooled), _nhwc(ref_pooled.numpy()))
+    np.testing.assert_array_equal(np.asarray(idx), _nhwc(ref_idx.numpy()))
+
+
+@pytest.mark.parametrize("hw", [(25, 25), (16, 20)])
+def test_max_unpool_flat_decoder_values_matches_torch(rng, hw):
+    """Scatter-free flat unpool vs F.max_unpool2d, with a DIFFERENT tensor
+    than the pooled maxima (SegResNet unpools the decoder output,
+    reference models/segnet.py:246-253). Overlapping windows give duplicate
+    indices carrying unequal values; the tap application order reproduces
+    torch-CPU's last-write-wins bit-for-bit."""
+    from segtpu.ops.pooling import max_pool_argmax_flat, max_unpool_flat
+
+    x = rng.standard_normal((2, 3, *hw)).astype(np.float32)
+    _, ref_idx = F.max_pool2d(torch.from_numpy(x), 3, 2, 1,
+                              return_indices=True)
+    ho, wo = ref_idx.shape[-2:]
+    y = rng.standard_normal((2, 3, ho, wo)).astype(np.float32)
+    # reference epilogue: unpool the decoder tensor to 2x the pooled grid
+    ref = F.max_unpool2d(torch.from_numpy(y), ref_idx, 2, 2).numpy()
+
+    _, idx = max_pool_argmax_flat(jnp.asarray(_nhwc(x)), 3, 2, 1)
+    got = np.asarray(max_unpool_flat(jnp.asarray(_nhwc(y)), idx,
+                                     (2 * ho, 2 * wo), input_hw=hw))
+    np.testing.assert_array_equal(got, _nhwc(ref))
+
+
+def test_max_unpool_flat_grad_matches_torch(rng):
+    """d(unpool)/dy is a gather at idx — check against torch autograd."""
+    import jax
+
+    from segtpu.ops.pooling import max_pool_argmax_flat, max_unpool_flat
+
+    hw = (13, 13)
+    x = rng.standard_normal((1, 2, *hw)).astype(np.float32)
+    _, ref_idx = F.max_pool2d(torch.from_numpy(x), 3, 2, 1,
+                              return_indices=True)
+    ho, wo = ref_idx.shape[-2:]
+    y = rng.standard_normal((1, 2, ho, wo)).astype(np.float32)
+    w = rng.standard_normal((1, 2, 2 * ho, 2 * wo)).astype(np.float32)
+
+    ty = torch.from_numpy(y).requires_grad_(True)
+    (F.max_unpool2d(ty, ref_idx, 2, 2) * torch.from_numpy(w)).sum().backward()
+
+    _, idx = max_pool_argmax_flat(jnp.asarray(_nhwc(x)), 3, 2, 1)
+    gy = jax.grad(lambda yy: jnp.sum(
+        max_unpool_flat(yy, idx, (2 * ho, 2 * wo), input_hw=hw)
+        * jnp.asarray(_nhwc(w))))(jnp.asarray(_nhwc(y)))
+    np.testing.assert_allclose(np.asarray(gy), _nhwc(ty.grad.numpy()),
+                               rtol=1e-6, atol=1e-6)
