@@ -9,11 +9,14 @@ timed loop (the double-compile pattern cost round 2 its bench artifact).
 
 Usage: ``python scripts/bench_zoo.py [group ...]`` where group is one of
 ``r3`` (the 7 round-3 headline cases), ``rest-train`` / ``rest-eval``
-(the 8 families the round-3 table left unmeasured), or a model registry
-name substring. No args = everything.
+(10 cases covering the 9 families the round-3 table left unmeasured,
+plus a DeepLab-R101 re-measure), or a model registry name substring.
+No args = everything.
 
-Batch sizes fall back (8 -> 4 -> 2) on OOM so memory-hungry full-res
-decoders (FCN8's pad-100 VGG, UNet at 769^2) still produce a row.
+On OOM a train case first retries the SAME batch with ``remat=True``
+(jax.checkpoint — the knob that exists for exactly this), then falls
+back 8 -> 4 -> 2; every fallback is annotated on the printed row so the
+README table never silently mixes batch bases.
 """
 import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
@@ -46,8 +49,9 @@ R3 = [
      {"backbone": "xception", "output_stride": 16}, (8,), False),
 ]
 
-# The 8 families the round-3 table left unmeasured, at their reference
-# default backbones (reference models/*.py constructor defaults).
+# The 9 families the round-3 table left unmeasured (plus a DeepLab-R101
+# re-measure), at their reference default backbones (reference
+# models/*.py constructor defaults).
 REST = [
     ("FCN8", "FCN8", {}),
     ("UNet", "UNet", {}),
@@ -69,7 +73,8 @@ CASES += [(f"{label} eval", name, kw, (8, 4, 2), False, "rest-eval")
           for (label, name, kw) in REST]
 
 
-def run_case(label, name, kwargs, batch, train, mesh, rng):
+def run_case(label, name, kwargs, batch, train, mesh, rng,
+             remat=False, note=""):
     model = get_model(name, num_classes=19, **kwargs)
     tx = make_optimizer(lr=0.01, num_epochs=100, iters_per_epoch=1000)
     state = create_train_state(model, tx, jax.random.PRNGKey(0),
@@ -79,7 +84,8 @@ def run_case(label, name, kwargs, batch, train, mesh, rng):
         rng.integers(0, 19, size=(batch, CROP, CROP)).astype(np.int32)))
     key = jax.random.PRNGKey(1)
     if train:
-        step = make_train_step(model, cross_entropy, 19, mesh=mesh)
+        step = make_train_step(model, cross_entropy, 19, mesh=mesh,
+                               remat=remat)
         compiled = step.lower(state, im, lb, key).compile()
         run = lambda s: compiled(s, im, lb, key)  # noqa: E731
     else:
@@ -102,34 +108,50 @@ def run_case(label, name, kwargs, batch, train, mesh, rng):
     float(loss)
     dt = (time.perf_counter() - t0) / 10
     mfu = f"  MFU {flops / dt / PEAK:.1%}" if flops else ""
-    print(f"{label}: bs={batch}  {batch / dt:.1f} imgs/sec/chip "
+    tag = " remat" if remat else ""
+    print(f"{label}: bs={batch}{tag}{note}  {batch / dt:.1f} imgs/sec/chip "
           f"({dt * 1000:.0f} ms/step){mfu}", flush=True)
 
 
 def main():
+    import gc
     sel = sys.argv[1:]
     mesh = make_mesh()
     rng = np.random.default_rng(0)
     for label, name, kwargs, batches, train, group in CASES:
         if sel and not any(s in (group, name) or s in label for s in sel):
             continue
+        # Attempt order: plain at batches[0]; on failure remat at the SAME
+        # batch (train only, and only when fallback batches exist — the r3
+        # cases pin a single known-good batch); then smaller batches.
+        attempts = [(batches[0], False, "")]
+        if train and len(batches) > 1:
+            attempts.append((batches[0], True, f" (OOM at {batches[0]})"))
+        for b in batches[1:]:
+            attempts.append((b, False, f" (OOM at {batches[0]}"
+                             + (", remat too)" if train else ")")))
         last = None
-        for batch in batches:
+        for batch, remat, note in attempts:
             try:
-                run_case(label, name, kwargs, batch, train, mesh, rng)
+                run_case(label, name, kwargs, batch, train, mesh, rng,
+                         remat=remat, note=note)
                 last = None
                 break
             except Exception as e:
-                last = e
+                # String only — keeping the exception pins run_case's frame
+                # (state/im/compiled) and the failed attempt's HBM would stay
+                # allocated under the retry.
+                last = f"{type(e).__name__}: {str(e)[:160]}"
+                del e
+                gc.collect()
         if last is not None:
-            print(f"{label}: FAILED {type(last).__name__}: {str(last)[:160]}",
-                  flush=True)
+            print(f"{label}: FAILED {last}", flush=True)
         # Free EVERYTHING between cases: a leftover compiled executable +
         # loss buffer kept prior cases' HBM alive and depressed the eval
         # cases run late in the sweep by ~25% (measured round 3: eval bs8
         # 122 img/s in-sweep vs 161 fresh). gc before the next allocation
         # restores it; run_case's locals die with the frame.
-        import gc; gc.collect()
+        gc.collect()
 
 
 if __name__ == "__main__":

@@ -272,15 +272,20 @@ def max_unpool_flat(y: jnp.ndarray, idx: jnp.ndarray, output_hw,
     alias neighbouring rows) land exclusively on cropped rows/columns of the
     shift, so they never contaminate the plane.
 
-    ``input_hw`` is the pool's input plane size; defaults to the minimal
-    plane consistent with ``idx``'s grid (exact when the pool consumed an
-    odd-sized plane, as SegResNet's stem does at odd crops).
+    ``input_hw`` (the pool's input plane size) is REQUIRED: the minimal
+    plane consistent with ``idx``'s grid is off by one for even-sized pool
+    inputs (e.g. reconstructs 15 for an actual 16), and ``idx`` values are
+    flat offsets in the TRUE plane — a wrong width silently maps every
+    value past row 0 to the wrong position.
     """
     b, ho, wo, c = y.shape
     oh, ow = output_hw
     if input_hw is None:
-        input_hw = (stride * (ho - 1) + window - 2 * padding,
-                    stride * (wo - 1) + window - 2 * padding)
+        raise ValueError(
+            "max_unpool_flat requires input_hw (the pool's input plane "
+            "size): it cannot be reconstructed from idx's grid — the "
+            "minimal consistent plane is off by one for even-sized inputs, "
+            "which silently corrupts the flat-index mapping.")
     h, w = input_hw
     rows = jnp.arange(ho) * stride - padding
     cols = jnp.arange(wo) * stride - padding

@@ -167,3 +167,16 @@ def test_max_unpool_flat_grad_matches_torch(rng):
         * jnp.asarray(_nhwc(w))))(jnp.asarray(_nhwc(y)))
     np.testing.assert_allclose(np.asarray(gy), _nhwc(ty.grad.numpy()),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_max_unpool_flat_requires_input_hw(rng):
+    """The minimal plane consistent with idx's grid is off by one for
+    even-sized pool inputs (reconstructs 15 for an actual 16), so the
+    default must refuse rather than silently mis-map flat indices."""
+    from segtpu.ops.pooling import max_pool_argmax_flat, max_unpool_flat
+
+    x = rng.standard_normal((1, 2, 16, 16)).astype(np.float32)
+    _, idx = max_pool_argmax_flat(jnp.asarray(_nhwc(x)), 3, 2, 1)
+    y = jnp.zeros((1, idx.shape[1], idx.shape[2], 2), jnp.float32)
+    with pytest.raises(ValueError, match="input_hw"):
+        max_unpool_flat(y, idx, (16, 16))
