@@ -71,7 +71,11 @@ def run(args):
         jnp.zeros((1, 64, 64, len(mean)), jnp.float32), train=False)
     params, batch_stats = load_model_weights(
         args.model, variables["params"], variables.get("batch_stats", {}))
-    predict = make_predictor(model, params, batch_stats, bucket=args.bucket)
+    compute_dtype = (jnp.bfloat16
+                     if getattr(args, "dtype", "float32") == "bfloat16"
+                     else None)
+    predict = make_predictor(model, params, batch_stats, bucket=args.bucket,
+                             compute_dtype=compute_dtype)
 
     os.makedirs(args.output, exist_ok=True)
     image_files = sorted(glob(os.path.join(args.images, f"*.{args.extension}")))
@@ -115,6 +119,11 @@ def parse_arguments():
     parser.add_argument("-b", "--bucket", default=None, type=int,
                         help="Pad inputs to multiples of this (e.g. 128) to "
                              "bound XLA recompiles across image sizes")
+    parser.add_argument("-d", "--dtype", default="float32", type=str,
+                        choices=["float32", "bfloat16"],
+                        help="Activation dtype for the forward (bfloat16 "
+                             "doubles MXU throughput; logits/argmax computed "
+                             "in float32 either way)")
     return parser.parse_args()
 
 

@@ -27,7 +27,8 @@ from segtpu.ops.resize import resize_bilinear
 
 
 def make_predictor(model, params, batch_stats,
-                   bucket: int | None = None) -> Callable:
+                   bucket: int | None = None,
+                   compute_dtype=None) -> Callable:
     """Jitted (cached per input shape) eval-mode forward: NHWC -> logits.
 
     ``bucket``: pad H/W up to the next multiple before the forward and crop
@@ -35,10 +36,19 @@ def make_predictor(model, params, batch_stats,
     sized images; without bucketing every (scale x image size) pair triggers
     a fresh XLA compile (minutes each on TPU). Bucketing trades exact border
     behavior (zero-pad context) for a bounded compile count.
+
+    ``compute_dtype``: cast the input (and therefore every activation —
+    layers ride the input dtype, nn/layers.py) before the forward; logits
+    always come back float32. ``jnp.bfloat16`` doubles MXU throughput on
+    TPU at segmentation-irrelevant logit noise (argmax-stable; measured in
+    scripts/bench_inference.py). Default None keeps the float32-exact path
+    the numerical parity tests pin.
     """
 
     @jax.jit
     def _predict(x):
+        if compute_dtype is not None:
+            x = x.astype(compute_dtype)
         out = model.apply({"params": params, "batch_stats": batch_stats},
                           x, train=False)
         return out["out"].astype(jnp.float32)

@@ -95,6 +95,14 @@ def test_bucketed_predictor_crops_back():
     # pointwise model: padding cannot leak, results identical
     np.testing.assert_allclose(yb, ye, rtol=1e-6, atol=1e-6)
 
+    # compute_dtype: activations run in bf16 (layers ride the input dtype,
+    # nn/layers.py:107) but logits come back float32, close to the exact path
+    bf16 = make_predictor(model, v["params"], {}, compute_dtype=jnp.bfloat16)
+    yh = np.asarray(bf16(x))
+    assert yh.dtype == np.float32 and yh.shape == ye.shape
+    np.testing.assert_allclose(yh, ye, rtol=0.05, atol=0.05)
+    assert (yh.argmax(-1) == ye.argmax(-1)).mean() > 0.98
+
 
 def test_inference_cli_without_dataset_on_disk(tmp_path):
     """A checkpoint dir + an image dir is ALL the inference CLI needs: the
