@@ -35,6 +35,15 @@ Dtype = Any
 # "slack" is input fusions the dot path loses. Kept as an escape hatch.
 _ONE_BY_ONE_AS_DOT = os.environ.get("SEGTPU_1X1_DOT", "0") == "1"
 
+# Rewrite strided ConvTranspose as a stride-1 "sub-pixel" conv producing
+# s_h*s_w*O channels followed by a depth-to-space interleave, instead of an
+# lhs-dilated conv. The dilated form makes XLA's TPU conv emitter stream a
+# mostly-zeros dilated input; the sub-pixel form is the same arithmetic as
+# one dense stride-1 conv (pure MXU) + a free reshape/transpose. Exactness
+# is tested against the dilated path (tests/test_layers_subpixel.py) and the
+# zoo parity suite. Escape hatch back to the dilated form: SEGTPU_SUBPIX=0.
+_SUBPIXEL_DECONV = os.environ.get("SEGTPU_SUBPIX", "1") == "1"
+
 
 def _pair(v) -> Tuple[int, int]:
     return (v, v) if isinstance(v, int) else tuple(v)
@@ -136,6 +145,46 @@ class Conv(nn.Module):
         return y
 
 
+def _subpixel_conv_transpose(x, kernel, stride, padding, output_padding):
+    """ConvTranspose2d as a stride-1 conv + depth-to-space (exact arithmetic).
+
+    out[b, s*y'+q - p, ...] = sum_t x[b, y'-t, ...] @ W[q + t*s, ...] — each
+    output phase q in [0, s) is a T-tap (T = ceil(k/s)) stride-1 correlation
+    of the input, so the whole op is ONE dense conv producing s_h*s_w*O
+    channels on the un-dilated input, followed by an interleaving reshape and
+    the torch padding/output_padding crop. Replaces the lhs-dilated conv
+    lowering, whose TPU emitter streams a 3/4-zeros dilated input.
+    """
+    b, h, w, in_ch = x.shape
+    kh, kw, _, out_ch = kernel.shape
+    sh, sw = stride
+    ph, pw = padding
+    oph, opw = output_padding
+    th = -(-kh // sh)
+    tw = -(-kw // sw)
+    wp = jnp.pad(kernel, ((0, th * sh - kh), (0, tw * sw - kw), (0, 0), (0, 0)))
+    kf = wp.reshape(th, sh, tw, sw, in_ch, out_ch)
+    kf = jnp.flip(kf, axis=(0, 2)).transpose(0, 2, 4, 1, 3, 5)
+    kf = kf.reshape(th, tw, in_ch, sh * sw * out_ch)
+    z = jax.lax.conv_general_dilated(
+        x, kf,
+        window_strides=(1, 1),
+        padding=((th - 1, th - 1), (tw - 1, tw - 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    hc, wc = z.shape[1], z.shape[2]
+    canvas = z.reshape(b, hc, wc, sh, sw, out_ch)
+    canvas = canvas.transpose(0, 1, 3, 2, 4, 5).reshape(
+        b, sh * hc, sw * wc, out_ch)
+    out_h = (h - 1) * sh - 2 * ph + kh + oph
+    out_w = (w - 1) * sw - 2 * pw + kw + opw
+    tail_h = max(ph + out_h - sh * hc, 0)
+    tail_w = max(pw + out_w - sw * wc, 0)
+    if tail_h or tail_w:
+        canvas = jnp.pad(canvas, ((0, 0), (0, tail_h), (0, tail_w), (0, 0)))
+    return canvas[:, ph:ph + out_h, pw:pw + out_w, :]
+
+
 class ConvTranspose(nn.Module):
     """2-D transposed convolution with exact ``nn.ConvTranspose2d`` arithmetic.
 
@@ -169,21 +218,25 @@ class ConvTranspose(nn.Module):
         kshape = (kh, kw, in_ch, self.features)
         kernel = self.param("kernel", self.kernel_init, kshape)
         dtype = self.dtype or x.dtype
-        # Transposed conv == conv over an lhs-dilated input with the kernel
-        # flipped spatially and padding (dilation*(k-1) - p) per side, plus
-        # output_padding on the trailing side.
-        flipped = jnp.flip(kernel, axis=(0, 1)).astype(dtype)
-        pad_h = dh * (kh - 1) - ph
-        pad_w = dw * (kw - 1) - pw
-        y = jax.lax.conv_general_dilated(
-            x.astype(dtype),
-            flipped,
-            window_strides=(1, 1),
-            padding=((pad_h, pad_h + oph), (pad_w, pad_w + opw)),
-            lhs_dilation=(sh, sw),
-            rhs_dilation=(dh, dw),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        if _SUBPIXEL_DECONV and (dh, dw) == (1, 1) and (sh > 1 or sw > 1):
+            y = _subpixel_conv_transpose(x.astype(dtype), kernel.astype(dtype),
+                                         (sh, sw), (ph, pw), (oph, opw))
+        else:
+            # Transposed conv == conv over an lhs-dilated input with the
+            # kernel flipped spatially and padding (dilation*(k-1) - p) per
+            # side, plus output_padding on the trailing side.
+            flipped = jnp.flip(kernel, axis=(0, 1)).astype(dtype)
+            pad_h = dh * (kh - 1) - ph
+            pad_w = dw * (kw - 1) - pw
+            y = jax.lax.conv_general_dilated(
+                x.astype(dtype),
+                flipped,
+                window_strides=(1, 1),
+                padding=((pad_h, pad_h + oph), (pad_w, pad_w + opw)),
+                lhs_dilation=(sh, sw),
+                rhs_dilation=(dh, dw),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
         if self.use_bias:
             fan_in = kh * kw * self.features
             bias_init = self.bias_init or torch_conv_bias_init(fan_in)
