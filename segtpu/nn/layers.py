@@ -37,12 +37,17 @@ _ONE_BY_ONE_AS_DOT = os.environ.get("SEGTPU_1X1_DOT", "0") == "1"
 
 # Rewrite strided ConvTranspose as a stride-1 "sub-pixel" conv producing
 # s_h*s_w*O channels followed by a depth-to-space interleave, instead of an
-# lhs-dilated conv. The dilated form makes XLA's TPU conv emitter stream a
-# mostly-zeros dilated input; the sub-pixel form is the same arithmetic as
-# one dense stride-1 conv (pure MXU) + a free reshape/transpose. Exactness
-# is tested against the dilated path (tests/test_layers_subpixel.py) and the
-# zoo parity suite. Escape hatch back to the dilated form: SEGTPU_SUBPIX=0.
-_SUBPIXEL_DECONV = os.environ.get("SEGTPU_SUBPIX", "1") == "1"
+# lhs-dilated conv (same arithmetic; tests/test_layers_subpixel.py pins
+# fwd+grad equivalence for every zoo deconv geometry). MEASURED LOSER on
+# this chip, so OFF by default (opt in: SEGTPU_SUBPIX=1) — the fifth
+# single-op attack to fail the in-step A/B (see README roofline section):
+# full zoo sweep @769² bs8 with it ON vs the dilated default: UNetResnet
+# train 29.6 vs 31.3 img/s, eval 74.8 vs 80.2; UNet eval 57.2 vs 61.6;
+# UNet/SegNet/SegResNet/ENet/FCN8 train within noise. XLA's TPU emitter
+# handles lhs-dilation well in-step; the sub-pixel form's depth-to-space
+# relayout and the s_h*s_w*O-channel intermediate cost more than the
+# zero-skipping saves.
+_SUBPIXEL_DECONV = os.environ.get("SEGTPU_SUBPIX", "0") == "1"
 
 
 def _pair(v) -> Tuple[int, int]:
