@@ -23,6 +23,10 @@ def main():
     if isinstance(data, bytes):
         data = data.decode()
     rows = json.loads(data)
+    if isinstance(rows, list) and rows and isinstance(rows[0], dict) \
+            and "rows" in rows[0]:
+        # [device_table, host_table] — device ops are table 0
+        rows = rows[0]
     # gviz DataTable: {'cols': [...], 'rows': [{'c': [{'v': ...}, ...]}]}
     if isinstance(rows, dict) and "rows" in rows:
         cols = [c.get("label") or c.get("id") for c in rows["cols"]]
@@ -38,7 +42,7 @@ def main():
     def pick(rec, *names, default=0.0):
         for n in names:
             for k in keys:
-                if n == k.lower().replace(" ", "_"):
+                if n == k.lower().replace(" ", "_").replace("-", "_"):
                     v = rec.get(k)
                     try:
                         return float(v)
@@ -59,12 +63,13 @@ def main():
                    "self_time_(us)") or 0.0) / 1e3
         occ = pick(r, "#occurrences", "occurrences", default=0)
         gfs = pick(r, "gflop/s", "gflops/s", "flop_rate_(gflop/s)",
-                   "measured_flop_rate", default=0)
+                   "model_flop_rate_(gflop/s)", "measured_flop_rate",
+                   default=0)
         bw = pick(r, "gb/s", "bandwidth_(gb/s)", "measured_memory_bw",
-                  default=0)
-        name = (pick(r, "operation", "op_name", "name", default="?")
-                or "?")
-        typ = pick(r, "type", "category", default="")
+                  "measured_memory_bw_(gbytes/sec)", default=0)
+        name = (pick(r, "operation", "operation_name", "op_name", "name",
+                     default="?") or "?")
+        typ = pick(r, "type", "operation_type", "category", default="")
         print(f"{st:9.2f} {st / total * 1e5:5.1f} {occ:4.0f} {gfs:9.0f} "
               f"{bw:7.0f}  {typ} {str(name)[:90]}")
 

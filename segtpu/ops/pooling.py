@@ -231,21 +231,6 @@ def max_pool_argmax_flat(x: jnp.ndarray, window: int = 3, stride: int = 2,
     return best_val, best_idx
 
 
-def _place_axis(t: jnp.ndarray, axis: int, shift: int, size: int,
-                pad_value) -> jnp.ndarray:
-    """Shift ``t`` by ``shift`` along ``axis`` into a plane of ``size``,
-    cropping overflow and padding the vacated end with ``pad_value``."""
-    length = t.shape[axis]
-    lo = max(shift, 0)
-    crop_lo = max(-shift, 0)
-    crop_hi = max(length - crop_lo - (size - lo), 0)
-    t = jax.lax.slice_in_dim(t, crop_lo, length - crop_hi, axis=axis)
-    hi = size - lo - t.shape[axis]
-    pad = [(0, 0, 0)] * t.ndim
-    pad[axis] = (lo, hi, 0)
-    return jax.lax.pad(t, jnp.asarray(pad_value, t.dtype), pad)
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def max_unpool_flat(y: jnp.ndarray, idx: jnp.ndarray, output_hw,
                     input_hw=None, window: int = 3, stride: int = 2,
@@ -255,22 +240,28 @@ def max_unpool_flat(y: jnp.ndarray, idx: jnp.ndarray, output_hw,
     zeros (B, OH*OW) canvas, per batch/channel — SegResNet's decoder
     epilogue (reference models/segnet.py:209,246-253).
 
-    Scatter-free: ``idx`` came from a (window, stride, padding) pool, so
-    each pooled pixel's target lies on one of ``window**2`` stride-dilated
-    tap grids. Per tap, a compare against that tap's flat-position map
-    selects the claiming values, and an interior-padded (dilated) shift
-    places them in the input plane — compare/select/pad ops that XLA fuses,
-    instead of a 3-D-indexed scatter that serializes on TPU (measured: the
-    scatter form held SegResNet train at 1117 ms/step, 2.6% MFU @769² bs8).
+    Scatter-free AND dilation-free (round 5): ``idx`` came from a
+    (window, stride, padding) pool, so a target position ``y = s*i + d``
+    (residue ``d`` mod the stride) can only be claimed through the taps
+    ``dh ≡ d + p (mod s)``, each by the pixel shifted ``(d+p-dh)/s`` rows.
+    Per residue pair the claimed values form a DENSE plane at pooled
+    resolution — a handful of compare/select ops over unshifted/shifted
+    views of (y, idx) — and one stack+reshape interleaves the s×s residue
+    planes into the input plane. No strided writes at all: the previous
+    form placed each tap with interior-dilated ``lax.pad`` shifts, which
+    emitted ~125 ms/step of 23-37 GB/s mostly-zero writes inside
+    SegResNet's train step (and the scatter form before it held the step
+    at 1117 ms, 2.6% MFU @769² bs8).
 
     Duplicate indices (one input position winning several overlapping
     windows) can carry UNEQUAL values here — the scattered tensor is the
-    decoder output, not the pooled maxima. Taps are applied in window
-    row-major scan order (later window overwrites), reproducing torch-CPU's
-    last-write-wins deterministically; torch-CUDA is racy on those pixels.
-    Out-of-plane tap positions (edge windows' padded taps, whose flat values
-    alias neighbouring rows) land exclusively on cropped rows/columns of the
-    shift, so they never contaminate the plane.
+    decoder output, not the pooled maxima. Within a residue the candidate
+    selects are applied in ascending claiming-pixel order (later select
+    overwrites), reproducing torch-CPU's last-write-wins deterministically;
+    torch-CUDA is racy on those pixels. Out-of-plane taps (edge windows'
+    padded taps, whose flat values alias neighbouring rows) can never
+    match a real argmax: the aliased position lies outside the claiming
+    window (column wrap) or beyond ``h*w`` (row overflow).
 
     ``input_hw`` (the pool's input plane size) is REQUIRED: the minimal
     plane consistent with ``idx``'s grid is off by one for even-sized pool
@@ -287,26 +278,46 @@ def max_unpool_flat(y: jnp.ndarray, idx: jnp.ndarray, output_hw,
             "minimal consistent plane is off by one for even-sized inputs, "
             "which silently corrupts the flat-index mapping.")
     h, w = input_hw
-    rows = jnp.arange(ho) * stride - padding
-    cols = jnp.arange(wo) * stride - padding
-    dilate = (0, 0, stride - 1)
-    plane = jnp.zeros((b, h, w, c), y.dtype)
-    # dh/dw descending == window (i, j) ascending row-major: the last
-    # applied (largest) window wins, matching torch-CPU's scan order.
-    for dh in range(window - 1, -1, -1):
-        for dw in range(window - 1, -1, -1):
-            flat = ((rows + dh)[:, None] * w + (cols + dw)[None, :])
-            m = idx == flat[None, :, :, None].astype(jnp.int32)
-            v = jnp.where(m, y, 0)
-            v = jax.lax.pad(v, jnp.asarray(0, v.dtype),
-                            ((0, 0, 0), dilate, dilate, (0, 0, 0)))
-            m = jax.lax.pad(m, jnp.asarray(False),
-                            ((0, 0, 0), dilate, dilate, (0, 0, 0)))
-            v = _place_axis(_place_axis(v, 1, dh - padding, h, 0),
-                            2, dw - padding, w, 0)
-            m = _place_axis(_place_axis(m, 1, dh - padding, h, False),
-                            2, dw - padding, w, False)
-            plane = jnp.where(m, v, plane)
+    s, p = stride, padding
+    hq, wq = -(-h // s), -(-w // s)
+
+    def shifts(d):
+        """Claiming-pixel shifts for residue ``d``: target s*i+d is written
+        by pixel i+t through tap dh = d + p - s*t (ascending t = ascending
+        pixel = ascending torch scan priority)."""
+        return sorted((d + p - dh) // s
+                      for dh in range(window) if (d + p - dh) % s == 0)
+
+    all_t = [t for d in range(s) for t in shifts(d)]
+    lo = max(0, -min(all_t))
+    hi = max(max(0, max(all_t)) + max(hq, wq) - min(ho, wo), 0)
+    yp = jnp.pad(y, ((0, 0), (lo, hi), (lo, hi), (0, 0)))
+    ip = jnp.pad(idx, ((0, 0), (lo, hi), (lo, hi), (0, 0)),
+                 constant_values=-1)  # never matches a flat target (>= 0)
+
+    quads = []
+    for dy in range(s):
+        trow = (s * jnp.arange(hq) + dy).astype(jnp.int32)
+        row = []
+        for dx in range(s):
+            tcol = (s * jnp.arange(wq) + dx).astype(jnp.int32)
+            # targets past the plane edge get flat >= h*w: no idx matches,
+            # and the final slice crops those rows/cols anyway
+            tflat = (trow[:, None] * w + tcol[None, :])[None, :, :, None]
+            acc = jnp.zeros((b, hq, wq, c), y.dtype)
+            for tr in shifts(dy):
+                for tc in shifts(dx):
+                    vv = jax.lax.slice(
+                        yp, (0, tr + lo, tc + lo, 0),
+                        (b, tr + lo + hq, tc + lo + wq, c))
+                    ii = jax.lax.slice(
+                        ip, (0, tr + lo, tc + lo, 0),
+                        (b, tr + lo + hq, tc + lo + wq, c))
+                    acc = jnp.where(ii == tflat, vv, acc)
+            row.append(acc)
+        quads.append(jnp.stack(row, axis=3))  # (B, hq, wq, s, C)
+    plane = jnp.stack(quads, axis=2)  # (B, hq, s, wq, s, C)
+    plane = plane.reshape(b, hq * s, wq * s, c)[:, :h, :w]
     flat_plane = plane.reshape(b, h * w, c)
     out = jnp.pad(flat_plane, ((0, 0), (0, oh * ow - h * w), (0, 0)))
     return out.reshape(b, oh, ow, c)
@@ -319,17 +330,51 @@ def _max_unpool_flat_fwd(y, idx, output_hw, input_hw, window, stride, padding):
 
 def _max_unpool_flat_bwd(output_hw, input_hw, window, stride, padding,
                          idx, g):
-    """torch's unpool backward: EVERY pooled pixel gathers the cotangent at
+    """torch's unpool backward: EVERY pooled pixel reads the cotangent at
     its flat position — duplicated indices all receive it, even though the
     forward's last-write-wins kept only one of their values. That fwd/bwd
     inconsistency is torch's own (max_unpool2d backward is an unconditional
-    gather); reproduced for training-dynamics parity. Gathers vectorize on
-    TPU — it is the scatter form of the forward that serialized."""
+    gather); reproduced for training-dynamics parity.
+
+    Gather-free (round 5): ``take_along_axis`` over the (B, OH*OW, C) plane
+    is a per-lane gather along a non-minor axis — measured 242 ms/step at
+    1 GB/s inside SegResNet's train step (41% of the whole step). Instead,
+    mirror the forward's tap decomposition: per tap (dh, dw) the candidate
+    cotangent is a STRIDED SLICE of the (padded) gradient plane at the
+    tap's positions, claimed by the same ``idx == flat`` compare. Masks are
+    exclusive across taps at a fixed pixel (two taps collide only if
+    ``(dh-dh')*w == dw'-dw``, impossible for ``|dw'-dw| < w``; out-of-plane
+    taps' aliased flat values name positions outside the pixel's window and
+    row overflows exceed ``h*w``, so they never match a real argmax), so a
+    masked SUM reproduces the gather exactly — 9 compare/slice/select ops
+    that XLA fuses, zero gathers.
+    """
     b, ho, wo, c = idx.shape
     oh, ow = output_hw
-    g_flat = g.reshape(b, oh * ow, c)
-    gy = jnp.take_along_axis(g_flat, idx.reshape(b, ho * wo, c), axis=1)
-    return gy.reshape(b, ho, wo, c), np.zeros(idx.shape, jax.dtypes.float0)
+    h, w = input_hw
+    # idx values live in [0, h*w): the forward's padded tail rows of the
+    # (OH*OW) canvas are never read back.
+    g_plane = g.reshape(b, oh * ow, c)[:, :h * w].reshape(b, h, w, c)
+    # Pad once so every tap's strided read window is in-bounds; the padding
+    # region only feeds out-of-plane taps, whose masks never fire.
+    hi_h = max(0, (ho - 1) * stride - padding + window - h)
+    hi_w = max(0, (wo - 1) * stride - padding + window - w)
+    gp = jax.lax.pad(g_plane, jnp.asarray(0, g.dtype),
+                     ((0, 0, 0), (padding, hi_h, 0), (padding, hi_w, 0),
+                      (0, 0, 0)))
+    rows = jnp.arange(ho) * stride - padding
+    cols = jnp.arange(wo) * stride - padding
+    gy = jnp.zeros((b, ho, wo, c), g.dtype)
+    for dh in range(window):
+        for dw in range(window):
+            flat = ((rows + dh)[:, None] * w + (cols + dw)[None, :])
+            m = idx == flat[None, :, :, None].astype(jnp.int32)
+            v = jax.lax.slice(
+                gp, (0, dh, dw, 0),
+                (b, dh + (ho - 1) * stride + 1, dw + (wo - 1) * stride + 1, c),
+                (1, stride, stride, 1))
+            gy = gy + jnp.where(m, v, jnp.asarray(0, g.dtype))
+    return gy, np.zeros(idx.shape, jax.dtypes.float0)
 
 
 max_unpool_flat.defvjp(_max_unpool_flat_fwd, _max_unpool_flat_bwd)

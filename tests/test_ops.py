@@ -144,13 +144,16 @@ def test_max_unpool_flat_decoder_values_matches_torch(rng, hw):
     np.testing.assert_array_equal(got, _nhwc(ref))
 
 
-def test_max_unpool_flat_grad_matches_torch(rng):
-    """d(unpool)/dy is a gather at idx — check against torch autograd."""
+@pytest.mark.parametrize("hw", [(13, 13), (16, 16), (15, 18)])
+def test_max_unpool_flat_grad_matches_torch(rng, hw):
+    """d(unpool)/dy reads the cotangent at idx — checked against torch
+    autograd across odd/even/rectangular pool planes (the round-5 backward
+    is tap-decomposed compare+slice+select, not a gather; masks must stay
+    exclusive across taps on every geometry)."""
     import jax
 
     from segtpu.ops.pooling import max_pool_argmax_flat, max_unpool_flat
 
-    hw = (13, 13)
     x = rng.standard_normal((1, 2, *hw)).astype(np.float32)
     _, ref_idx = F.max_pool2d(torch.from_numpy(x), 3, 2, 1,
                               return_indices=True)
