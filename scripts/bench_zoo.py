@@ -75,6 +75,16 @@ CASES += [(f"{label} eval", name, kw, (8, 4, 2), False, "rest-eval")
 
 def run_case(label, name, kwargs, batch, train, mesh, rng,
              remat=False, note=""):
+    # Prefer the model's own structured remat (per-block / per-dense-layer,
+    # e.g. the memory-efficient DenseNet) over whole-step jax.checkpoint:
+    # whole-step replay re-stores the same residuals and measured NO memory
+    # relief on PSPDenseNet-201 (still OOM at bs8 in the round-4 sweep).
+    step_remat = remat
+    if remat and "remat_backbone" in getattr(
+            get_model(name, num_classes=19, **kwargs),
+            "__dataclass_fields__", {}):
+        kwargs = dict(kwargs, remat_backbone=True)
+        step_remat = False
     model = get_model(name, num_classes=19, **kwargs)
     tx = make_optimizer(lr=0.01, num_epochs=100, iters_per_epoch=1000)
     state = create_train_state(model, tx, jax.random.PRNGKey(0),
@@ -85,7 +95,7 @@ def run_case(label, name, kwargs, batch, train, mesh, rng,
     key = jax.random.PRNGKey(1)
     if train:
         step = make_train_step(model, cross_entropy, 19, mesh=mesh,
-                               remat=remat)
+                               remat=step_remat)
         compiled = step.lower(state, im, lb, key).compile()
         run = lambda s: compiled(s, im, lb, key)  # noqa: E731
     else:
@@ -108,7 +118,8 @@ def run_case(label, name, kwargs, batch, train, mesh, rng,
     float(loss)
     dt = (time.perf_counter() - t0) / 10
     mfu = f"  MFU {flops / dt / PEAK:.1%}" if flops else ""
-    tag = " remat" if remat else ""
+    tag = (" remat(backbone)" if remat and not step_remat
+           else " remat" if remat else "")
     print(f"{label}: bs={batch}{tag}{note}  {batch / dt:.1f} imgs/sec/chip "
           f"({dt * 1000:.0f} ms/step){mfu}", flush=True)
 

@@ -30,12 +30,20 @@ DENSENET_CONFIG = {
 
 
 class DenseLayer(nn.Module):
+    """One bottleneck layer: BN-ReLU-1x1 -> BN-ReLU-3x3, returning only the
+    ``growth`` new feature channels. Takes the previous features UNPACKED
+    (``*parts``) and concatenates them itself — under ``nn.remat`` the saved
+    residuals are then the shared per-layer growth tensors instead of each
+    layer's full concatenated input, torchvision's memory_efficient=True
+    formulation expressed as a checkpoint boundary."""
+
     growth: int
     bn_size: int = 4
     dilation: int = 1
 
     @nn.compact
-    def __call__(self, x, train: bool = True):
+    def __call__(self, train: bool, *parts):
+        x = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
         y = BatchNorm(name="norm1")(x, use_running_average=not train)
         y = nn.relu(y)
         y = Conv(self.bn_size * self.growth, 1, use_bias=False, name="conv1")(y)
@@ -43,20 +51,32 @@ class DenseLayer(nn.Module):
         y = nn.relu(y)
         y = Conv(self.growth, 3, padding=self.dilation, dilation=self.dilation,
                  use_bias=False, name="conv2")(y)
-        return jnp.concatenate([x, y], axis=-1)
+        return y
 
 
 class DenseBlock(nn.Module):
+    """``remat_layers`` checkpoints each DenseLayer: without it, autodiff
+    keeps every layer's relu(norm1(concat)) alive — ~14 GB for DenseNet-201
+    blocks 3+4 at 769², bs8, bf16 (the sweep's OOM even with whole-step
+    remat, whose replay re-stores the same residuals). With it, the only
+    residuals are the x0 + per-layer growth tensors the block output is made
+    of (~0.5 GB), and the backward replays concat+BN+ReLU+convs per layer."""
+
     num_layers: int
     growth: int
     dilation: int = 1
+    remat_layers: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        layer_cls = (nn.remat(DenseLayer, static_argnums=(1,))
+                     if self.remat_layers else DenseLayer)
+        ys = [x]
         for i in range(self.num_layers):
-            x = DenseLayer(self.growth, dilation=self.dilation,
-                           name=f"denselayer{i + 1}")(x, train=train)
-        return x
+            y = layer_cls(self.growth, dilation=self.dilation,
+                          name=f"denselayer{i + 1}")(train, *ys)
+            ys.append(y)
+        return jnp.concatenate(ys, axis=-1)
 
 
 class Transition(nn.Module):
@@ -79,6 +99,7 @@ class DenseNetFeatures(nn.Module):
 
     arch: str = "densenet201"
     pretrained_stem: bool = False  # 7x7 stem (pretrained) vs 3x3 stack
+    remat_layers: bool = False  # memory-efficient DenseNet (see DenseBlock)
 
     @nn.compact
     def __call__(self, x, train: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -109,6 +130,7 @@ class DenseNetFeatures(nn.Module):
         aux = None
         for bi in range(4):
             y = DenseBlock(blocks[bi], growth, dilation=dilations[bi],
+                           remat_layers=self.remat_layers,
                            name=f"denseblock{bi + 1}")(y, train=train)
             ch = y.shape[-1]
             if bi < 3:

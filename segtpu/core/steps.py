@@ -22,7 +22,7 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
-from segtpu.metrics import SegStats, seg_stats
+from segtpu.metrics import SegStats, seg_stats_from_logits
 from segtpu.core.mesh import batch_sharding, replicated_sharding
 
 
@@ -103,8 +103,7 @@ def make_train_step(
             compute_loss, has_aux=True)(state.params)
         new_state = state.apply_gradients(grads).replace(
             batch_stats=mutated["batch_stats"])
-        preds = jnp.argmax(logits, axis=-1)
-        stats = seg_stats(preds, labels, num_classes)
+        stats = seg_stats_from_logits(logits, labels)
         return new_state, loss, stats
 
     if mesh is None:
@@ -149,8 +148,7 @@ def make_eval_step(
         )
         logits = outputs["out"]
         loss = loss_fn(logits, labels, ignore_index=ignore_index)
-        preds = jnp.argmax(logits, axis=-1)
-        stats = seg_stats(preds, labels, num_classes)
+        stats = seg_stats_from_logits(logits, labels)
         if return_logits:
             return loss, stats, logits
         return loss, stats

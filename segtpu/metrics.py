@@ -18,6 +18,8 @@ from typing import Dict, NamedTuple
 import jax.numpy as jnp
 import numpy as np
 
+from segtpu.ops.reductions import fast_argmax, onehot_first_max
+
 
 class SegStats(NamedTuple):
     """Confusion-style accumulators (all float32 on device).
@@ -80,8 +82,30 @@ def seg_stats(pred: jnp.ndarray, target: jnp.ndarray, num_classes: int) -> SegSt
 
 
 def seg_stats_from_logits(logits: jnp.ndarray, target: jnp.ndarray) -> SegStats:
-    """Stats straight from (B, H, W, C) logits — argmax stays on device."""
-    return seg_stats(jnp.argmax(logits, axis=-1), target, logits.shape[-1])
+    """Stats straight from (B, H, W, C) logits — argmax stays on device.
+
+    Never materializes integer predictions: the metric einsums consume the
+    first-occurrence argmax ONE-HOT (:func:`onehot_first_max`), skipping the
+    class-axis index reduction entirely (C=19 occupies 19/128 lanes, so even
+    a monoid reduce over it measured 19 ms/step at 769², bs8). Same
+    quantities as ``seg_stats(argmax(logits), target, C)`` exactly.
+    """
+    import jax
+
+    c = logits.shape[-1]
+    onehot_p = onehot_first_max(logits.reshape(-1, c))
+    target = target.reshape(-1).astype(jnp.int32)
+    valid = (target >= 0) & (target < c)
+    validf = valid.astype(jnp.float32)
+    safe_target = jnp.where(valid, target, 0)
+    onehot_t = jax.nn.one_hot(safe_target, c, dtype=jnp.float32)
+    onehot_tv = onehot_t * validf[:, None]
+    # onehot_p rows sum to 1, so sum_c onehot_p*onehot_t == (pred == target).
+    inter = jnp.einsum("pc,pc->c", onehot_p, onehot_tv)
+    area_pred = jnp.einsum("p,pc->c", validf, onehot_p)
+    area_lab = jnp.sum(onehot_tv, axis=0)
+    union = area_pred + area_lab - inter
+    return SegStats(jnp.sum(inter), jnp.sum(validf), inter, union)
 
 
 def summarize(stats: SegStats) -> Dict[str, np.ndarray]:
@@ -107,7 +131,7 @@ def eval_metrics(logits, target, num_classes: int) -> SegStats:
     """API-parity alias (reference utils/metrics.py:59-67 returns the
     [correct, labeled, inter, union] 4-tuple; here the same quantities as a
     SegStats, device-resident)."""
-    return seg_stats(jnp.argmax(logits, axis=-1), target, num_classes)
+    return seg_stats(fast_argmax(logits, axis=-1), target, num_classes)
 
 
 class AverageMeter:

@@ -95,6 +95,7 @@ class PSPDenseNet(nn.Module):
     pretrained: bool = False
     use_aux: bool = True
     freeze_bn: bool = False
+    remat_backbone: bool = False  # per-dense-layer remat: restores bs8 @769²
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -102,6 +103,7 @@ class PSPDenseNet(nn.Module):
         H, W = x.shape[1], x.shape[2]
         y, x_aux = DenseNetFeatures(arch=self.backbone,
                                     pretrained_stem=self.pretrained,
+                                    remat_layers=self.remat_backbone,
                                     name="backbone")(x, train=bn_train)
         m_out = y.shape[-1]
 

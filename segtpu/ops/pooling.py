@@ -20,6 +20,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from segtpu.ops.reductions import fast_argmax
+
 
 def _pad_hw(x: jnp.ndarray, padding: int | tuple, value: float) -> jnp.ndarray:
     if isinstance(padding, int):
@@ -174,7 +176,7 @@ def max_pool_argmax(x: jnp.ndarray):
         h, w = h + ph, w + pw
     windows = x.reshape(b, h // 2, 2, w // 2, 2, c)
     windows = windows.transpose(0, 1, 3, 5, 2, 4).reshape(b, h // 2, w // 2, c, 4)
-    idx = jnp.argmax(windows, axis=-1).astype(jnp.int8)
+    idx = fast_argmax(windows, axis=-1).astype(jnp.int8)
     pooled = jnp.max(windows, axis=-1)
     return pooled, idx
 

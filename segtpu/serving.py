@@ -25,6 +25,8 @@ from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+
+from segtpu.ops.reductions import fast_argmax
 import numpy as np
 
 
@@ -40,7 +42,7 @@ def build_serve_fn(model, params, batch_stats, mean, std,
         logits = model.apply({"params": params, "batch_stats": batch_stats},
                              x.astype(compute_dtype), train=False)["out"]
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-        preds = jnp.argmax(probs, axis=-1).astype(jnp.int32)
+        preds = fast_argmax(probs, axis=-1).astype(jnp.int32)
         conf = jnp.max(probs, axis=-1)
         return preds, conf
 

@@ -69,3 +69,30 @@ def test_average_meter():
     m.update(3.0, weight=3)
     assert m.average == (1.0 + 9.0) / 4
     assert m.val == 3.0
+
+
+def test_seg_stats_from_logits_matches_argmax_path(rng):
+    """The one-hot-direct path (onehot_first_max + einsums, no class-axis
+    index reduction) must equal seg_stats(argmax(logits)) exactly — including
+    tied maxima (first occurrence wins) and ignored pixels."""
+    import jax.numpy as jnp
+
+    from segtpu.metrics import seg_stats, seg_stats_from_logits
+    from segtpu.ops.reductions import onehot_first_max
+
+    C = 7
+    logits = rng.standard_normal((2, 9, 11, C)).astype(np.float32)
+    logits[0, 3, 4, 1] = logits[0, 3, 4, 5] = 9.0  # tie
+    logits[1, :, 2, 0] = logits[1, :, 2, 6] = 4.0  # column of ties
+    target = rng.integers(0, C, (2, 9, 11)).astype(np.int32)
+    target[0, :2] = 255  # ignore
+    target[1, 5, :] = -1  # negative ignore
+
+    oh = np.asarray(onehot_first_max(jnp.asarray(logits.reshape(-1, C))))
+    np.testing.assert_array_equal(
+        oh, np.eye(C, dtype=np.float32)[np.argmax(logits, -1).reshape(-1)])
+
+    got = seg_stats_from_logits(jnp.asarray(logits), jnp.asarray(target))
+    want = seg_stats(jnp.asarray(np.argmax(logits, -1)), jnp.asarray(target), C)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=0, atol=0)

@@ -183,3 +183,22 @@ def test_max_unpool_flat_requires_input_hw(rng):
     y = jnp.zeros((1, idx.shape[1], idx.shape[2], 2), jnp.float32)
     with pytest.raises(ValueError, match="input_hw"):
         max_unpool_flat(y, idx, (16, 16))
+
+
+@pytest.mark.parametrize("axis", [0, 1, 2, -1])
+def test_fast_argmax_matches_jnp(rng, axis):
+    """fast_argmax (max + masked min-over-iota, avoiding XLA's variadic
+    reduce — 8 GB/s on TPU for the step's full-res prediction argmax) must
+    match jnp.argmax exactly, including first-occurrence tie-breaking."""
+    import jax.numpy as jnp
+
+    from segtpu.ops.reductions import fast_argmax
+
+    x = rng.standard_normal((5, 17, 9)).astype(np.float32)
+    x[1, 3, 2] = x[1, 3, 7] = 50.0  # tie: first occurrence must win
+    x[2, :, 4] = x[2, :, 0]  # ties along other axes
+    got = np.asarray(fast_argmax(jnp.asarray(x), axis))
+    np.testing.assert_array_equal(got, np.argmax(x, axis))
+    xi = rng.integers(-3, 3, (6, 31)).astype(np.int32)
+    np.testing.assert_array_equal(
+        np.asarray(fast_argmax(jnp.asarray(xi), 1)), np.argmax(xi, 1))
