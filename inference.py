@@ -53,6 +53,7 @@ def run(args):
     from segtpu.checkpoint import load_model_weights
     from segtpu.inference_lib import (make_predictor, multi_scale_predict,
                                       sliding_predict)
+    from segtpu.ops.reductions import fast_argmax
     from segtpu.models import MODELS
     from segtpu.utils.helpers import colorize_mask
 
@@ -83,13 +84,19 @@ def run(args):
         image = Image.open(img_file).convert("RGB")
         arr = (np.asarray(image, np.float32) / 255.0 - mean) / std
 
+        # class_map=True: the CLI only needs the argmax map, so the argmax
+        # runs on device and only (H, W) int32 crosses the host boundary
+        # instead of the (H, W, C) float32 logits canvas.
         if args.mode == "multiscale":
-            logits = multi_scale_predict(predict, arr, scales, num_classes)
+            prediction = multi_scale_predict(predict, arr, scales,
+                                             num_classes, class_map=True)
         elif args.mode == "sliding":
-            logits = sliding_predict(predict, arr, num_classes)
+            prediction = sliding_predict(predict, arr, num_classes,
+                                         class_map=True)
         else:
-            logits = np.asarray(predict(arr[None]))[0]
-        prediction = logits.argmax(-1).astype(np.uint8)
+            prediction = np.asarray(
+                fast_argmax(predict(arr[None])[0], axis=-1))
+        prediction = prediction.astype(np.uint8)
 
         name = os.path.basename(img_file).split(".")[0]
         colorize_mask(prediction, palette).save(

@@ -66,24 +66,34 @@ def bench_sliding(image, predictors):
         for mtb, tag in ((16, "batched tiles (mtb=16)"),
                          (1, "per-tile loop  (mtb=1)")):
             dt, _ = _time(lambda: sliding_predict(
-                predict, image, NC, flip=True, max_tile_batch=mtb))
+                predict, image, NC, flip=True, max_tile_batch=mtb,
+                class_map=True))
             print(f"sliding {dname:8s} {tag}: {dt:.2f} s/frame "
                   f"({dt / 48 * 1000:.0f} ms per forward incl. host)",
                   flush=True)
+        # One row with the full (H, W, C) float32 canvas download, to
+        # quantify what class_map=True avoids on this host link.
+        dt, _ = _time(lambda: sliding_predict(
+            predict, image, NC, flip=True, max_tile_batch=16))
+        print(f"sliding {dname:8s} + full canvas download: {dt:.2f} s/frame",
+              flush=True)
 
 
 def bench_multiscale(image, predictors):
     for dname, predict in predictors.items():
-        dt, _ = _time(lambda: multi_scale_predict(predict, image, SCALES, NC))
+        dt, _ = _time(lambda: multi_scale_predict(predict, image, SCALES, NC,
+                                                  class_map=True))
         print(f"multiscale {dname:8s} ({len(SCALES)} scales): "
               f"{dt:.2f} s/frame ({dt / len(SCALES) * 1000:.0f} ms per "
               f"scale incl. zoom+resize)", flush=True)
 
 
 def bench_agreement(image, predictors):
-    a = sliding_predict(predictors["float32"], image, NC, flip=True)
-    b = sliding_predict(predictors["bfloat16"], image, NC, flip=True)
-    frac = float(np.mean(a.argmax(-1) != b.argmax(-1)))
+    a = sliding_predict(predictors["float32"], image, NC, flip=True,
+                        class_map=True)
+    b = sliding_predict(predictors["bfloat16"], image, NC, flip=True,
+                        class_map=True)
+    frac = float(np.mean(a != b))
     print(f"bf16-vs-fp32 sliding argmax disagreement: {frac:.2%} of pixels",
           flush=True)
 
