@@ -84,11 +84,27 @@ def seg_stats(pred: jnp.ndarray, target: jnp.ndarray, num_classes: int) -> SegSt
 def seg_stats_from_logits(logits: jnp.ndarray, target: jnp.ndarray) -> SegStats:
     """Stats straight from (B, H, W, C) logits — argmax stays on device.
 
-    Never materializes integer predictions: the metric einsums consume the
-    first-occurrence argmax ONE-HOT (:func:`onehot_first_max`), skipping the
-    class-axis index reduction entirely (C=19 occupies 19/128 lanes, so even
-    a monoid reduce over it measured 19 ms/step at 769², bs8). Same
-    quantities as ``seg_stats(argmax(logits), target, C)`` exactly.
+    Uses :func:`fast_argmax` (two monoid reduces) instead of ``jnp.argmax``'s
+    variadic (value, index) reduce, then the one-hot metric einsums of
+    :func:`seg_stats`. The index-free one-hot formulation
+    (:func:`seg_stats_from_logits_onehot`) wins isolated but LOSES in-step:
+    measured 212.8 vs 200.0 ms/step on PSPNet-R50 769² bs8 train (the eq-mask
+    + (C, C) matmul materializes an extra (P, C) f32 tensor to HBM, while
+    fast_argmax's compare/selects fuse into the loss one-hots) — the same
+    microbench-vs-fusion trap as the Lovász histogram (see README rooflines).
+    """
+    c = logits.shape[-1]
+    return seg_stats(fast_argmax(logits, axis=-1), target, c)
+
+
+def seg_stats_from_logits_onehot(logits: jnp.ndarray,
+                                 target: jnp.ndarray) -> SegStats:
+    """Index-free variant: the metric einsums consume the first-occurrence
+    argmax ONE-HOT (:func:`onehot_first_max`) directly, skipping the
+    class-axis index reduction entirely. Exactly equal to
+    :func:`seg_stats_from_logits` (tie-breaking and ignore pixels included,
+    proven in tests) but an in-step LOSER on the flagship — kept as a
+    measured negative result (212.8 vs 200.0 ms/step, PSPNet-R50 769² bs8).
     """
     import jax
 

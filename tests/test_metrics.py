@@ -72,12 +72,13 @@ def test_average_meter():
 
 
 def test_seg_stats_from_logits_matches_argmax_path(rng):
-    """The one-hot-direct path (onehot_first_max + einsums, no class-axis
-    index reduction) must equal seg_stats(argmax(logits)) exactly — including
-    tied maxima (first occurrence wins) and ignored pixels."""
+    """Both logits-direct paths (the default fast_argmax one and the kept
+    one-hot-direct loser) must equal seg_stats(argmax(logits)) exactly —
+    including tied maxima (first occurrence wins) and ignored pixels."""
     import jax.numpy as jnp
 
-    from segtpu.metrics import seg_stats, seg_stats_from_logits
+    from segtpu.metrics import (seg_stats, seg_stats_from_logits,
+                                seg_stats_from_logits_onehot)
     from segtpu.ops.reductions import onehot_first_max
 
     C = 7
@@ -92,7 +93,9 @@ def test_seg_stats_from_logits_matches_argmax_path(rng):
     np.testing.assert_array_equal(
         oh, np.eye(C, dtype=np.float32)[np.argmax(logits, -1).reshape(-1)])
 
-    got = seg_stats_from_logits(jnp.asarray(logits), jnp.asarray(target))
     want = seg_stats(jnp.asarray(np.argmax(logits, -1)), jnp.asarray(target), C)
-    for g, w in zip(got, want):
-        np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=0, atol=0)
+    for fn in (seg_stats_from_logits, seg_stats_from_logits_onehot):
+        got = fn(jnp.asarray(logits), jnp.asarray(target))
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                       rtol=0, atol=0)
