@@ -94,7 +94,31 @@ def seg_stats_from_logits(logits: jnp.ndarray, target: jnp.ndarray) -> SegStats:
     microbench-vs-fusion trap as the Lovász histogram (see README rooflines).
     """
     c = logits.shape[-1]
-    return seg_stats(fast_argmax(logits, axis=-1), target, c)
+    return seg_stats(_argmax(logits), target, c)
+
+
+def _argmax(logits: jnp.ndarray) -> jnp.ndarray:
+    """Prediction argmax. Default: :func:`packed_argmax` (one reduce_max
+    over an int32 (bf16-key, rev-index) packing) when the logits are
+    already 16-bit — exact there, and the measured in-step winner (UNet
+    train 328.2 vs 362.1 ms/step, PSPNet see README) because it halves the
+    lane-starved C=19 minor-axis reduce passes; :func:`fast_argmax` for
+    wider dtypes where bf16 rounding could flip fp32 tie-breaking.
+    SEGTPU_ARGMAX=fast|packed|jnp overrides for in-step A/Bs
+    (scripts/argmax_ab.py)."""
+    import os
+
+    from segtpu.ops.reductions import packed_argmax
+
+    variant = os.environ.get("SEGTPU_ARGMAX", "")
+    if not variant:
+        variant = "packed" if logits.dtype in (jnp.bfloat16, jnp.float16) \
+            else "fast"
+    if variant == "packed":
+        return packed_argmax(logits, axis=-1)
+    if variant == "jnp":
+        return jnp.argmax(logits, axis=-1)
+    return fast_argmax(logits, axis=-1)
 
 
 def seg_stats_from_logits_onehot(logits: jnp.ndarray,
@@ -147,7 +171,7 @@ def eval_metrics(logits, target, num_classes: int) -> SegStats:
     """API-parity alias (reference utils/metrics.py:59-67 returns the
     [correct, labeled, inter, union] 4-tuple; here the same quantities as a
     SegStats, device-resident)."""
-    return seg_stats(fast_argmax(logits, axis=-1), target, num_classes)
+    return seg_stats(_argmax(logits), target, num_classes)
 
 
 class AverageMeter:

@@ -31,6 +31,37 @@ def fast_argmax(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     return jnp.min(jnp.where(x == m, iota, jnp.int32(size)), axis=axis)
 
 
+def packed_argmax(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    """``jnp.argmax`` (first occurrence wins) as ONE ``reduce_max`` over an
+    int32 packing of (monotone bfloat16 key, reversed index).
+
+    Even :func:`fast_argmax`'s two monoid reduces run lane-starved when the
+    reduced axis is the minor one with C=19 of 128 lanes occupied (measured
+    19 ms/step at 14 GB/s on UNet's (8, 769, 769, 19) prediction tensor —
+    the fused compare/select/iota runs inside BOTH reduce loops). Packing
+    halves the reduce passes: the bfloat16 bit pattern is mapped to a
+    sign-magnitude-monotone 16-bit key (negative floats: bitwise NOT;
+    non-negative: set the sign bit), centered to signed int16 range, and
+    packed with ``size-1-index`` in the low 16 bits, so one ``reduce_max``
+    yields the max value AND its first index.
+
+    EXACT vs ``jnp.argmax`` for 16-bit inputs (the bf16 activations of the
+    train step) including -0.0 ties; wider dtypes are first rounded to
+    bfloat16, so use :func:`fast_argmax` where fp32 tie-breaking matters.
+    Assumes non-NaN input, like :func:`fast_argmax`.
+    """
+    if axis < 0:
+        axis = x.ndim + axis
+    size = x.shape[axis]
+    b = jax.lax.bitcast_convert_type(
+        x.astype(jnp.bfloat16), jnp.uint16).astype(jnp.int32)
+    key = jnp.where(b >= 0x8000, 0xFFFF - b, b + 0x8000)
+    key = jnp.where(b == 0x8000, 0x8000, key)  # -0.0 ties with +0.0
+    iota = jax.lax.broadcasted_iota(jnp.int32, x.shape, axis)
+    packed = (key - 0x8000) * 0x10000 + (size - 1 - iota)
+    return (size - 1) - (jnp.max(packed, axis=axis) & 0xFFFF)
+
+
 def onehot_first_max(x: jnp.ndarray) -> jnp.ndarray:
     """float32 one-hot of ``argmax(x, -1)`` (first occurrence wins) with NO
     reduction over the minor axis except one ``max``.

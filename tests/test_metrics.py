@@ -99,3 +99,24 @@ def test_seg_stats_from_logits_matches_argmax_path(rng):
         for g, w in zip(got, want):
             np.testing.assert_allclose(np.asarray(g), np.asarray(w),
                                        rtol=0, atol=0)
+
+
+def test_seg_stats_from_logits_bf16_packed_default(rng):
+    """With bfloat16 logits (the train step's dtype), seg_stats_from_logits
+    routes to packed_argmax; the stats must equal seg_stats(argmax) on the
+    same bf16 values exactly, ties and ignore pixels included."""
+    import jax.numpy as jnp
+
+    from segtpu.metrics import seg_stats, seg_stats_from_logits
+
+    C = 19
+    logits = jnp.asarray(rng.standard_normal((2, 9, 11, C)) * 4, jnp.bfloat16)
+    logits = logits.at[0, 3, 4, 1].set(9.0).at[0, 3, 4, 5].set(9.0)  # tie
+    target = rng.integers(0, C, (2, 9, 11)).astype(np.int32)
+    target[0, :2] = 255  # ignore
+    ref = np.argmax(np.asarray(logits, np.float32), -1)
+    want = seg_stats(jnp.asarray(ref), jnp.asarray(target), C)
+    got = seg_stats_from_logits(logits, jnp.asarray(target))
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=0, atol=0)

@@ -202,3 +202,31 @@ def test_fast_argmax_matches_jnp(rng, axis):
     xi = rng.integers(-3, 3, (6, 31)).astype(np.int32)
     np.testing.assert_array_equal(
         np.asarray(fast_argmax(jnp.asarray(xi), 1)), np.argmax(xi, 1))
+
+
+@pytest.mark.parametrize("axis", [0, 1, 2, -1])
+def test_packed_argmax_matches_jnp(rng, axis):
+    """packed_argmax (single reduce_max over an int32 (bf16-key, rev-index)
+    packing) must match jnp.argmax on bfloat16 inputs exactly: ties first-
+    occurrence, negatives, +/-inf, and -0.0 vs +0.0 ties."""
+    import jax.numpy as jnp
+
+    from segtpu.ops.reductions import packed_argmax
+
+    x = (rng.standard_normal((5, 17, 9)) * 8).astype(np.float32)
+    x[1, 3, 2] = x[1, 3, 7] = 50.0  # tie: first occurrence must win
+    x[2, :, 4] = x[2, :, 0]  # ties along other axes
+    x[0, 1, 3] = np.inf
+    x[3, 2, :] = -np.inf
+    xb = jnp.asarray(x, jnp.bfloat16)
+    np.testing.assert_array_equal(
+        np.asarray(packed_argmax(xb, axis)),
+        np.argmax(np.asarray(xb, np.float32), axis))
+    z = jnp.asarray(np.array([[-0.0, 0.0, -1.0], [0.0, -0.0, -0.0]]),
+                    jnp.bfloat16)
+    np.testing.assert_array_equal(np.asarray(packed_argmax(z, 1)), [0, 0])
+    # all-negative rows (the sign-flip branch of the key mapping)
+    neg = jnp.asarray(-np.abs(rng.standard_normal((7, 19))) - 1, jnp.bfloat16)
+    np.testing.assert_array_equal(
+        np.asarray(packed_argmax(neg, 1)),
+        np.argmax(np.asarray(neg, np.float32), 1))
